@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship correlator pipeline on sf0.001;
+``queries()``/``oracle_sql()`` expose one entry per implemented operator
+family (SURVEY.md §2) with DuckDB-parity SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +10,50 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmalyzer_spark.plans import driver_queries as _dq
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the Correlator (SURVEY.md §2.3 J4) over synthetic
+    geotagged views of the sf0.001 tables — customers play OSM elements,
+    suppliers play external data items (same shape as the reference's
+    shop-chain analyzers). Returns the six-kind correlation DataFrame.
+    """
+    from osmalyzer_spark.operators.correlator import CorrelatorParams, correlate
+
+    elements = _dq._geo_customers(spark, SF0001).withColumn(
+        "elem_tag", (F.col("elem_id") % 7).cast("string")
+    )
+    items = _dq._geo_suppliers(spark, SF0001).withColumn(
+        "item_tag", (F.col("item_id") % 7).cast("string")
+    )
+    params = CorrelatorParams(
+        match_distance=150.0,
+        unmatch_distance=1500.0,
+        strong_extra_distance=3000.0,
+        strength_expr=lambda df: F.when(
+            F.col("item_tag") == F.col("elem_tag"), F.lit(3)
+        ).otherwise(F.lit(1)),
+        lone_allowance_expr=lambda df: F.col("elem_id") % 11 == 0,
+    )
+    res = correlate(spark, elements, items, params)
+    return res.correlations
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    Each callable takes (spark, sf_dir) and returns a DataFrame. Every
+    computed column is aliased identically to the oracle SQL.
     """
-    return {}
+    return _dq.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL equivalent for each query (same parquet
+    tables registered as views)."""
+    return _dq.oracle_sql()

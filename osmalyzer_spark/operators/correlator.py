@@ -1,0 +1,365 @@
+"""The Correlator — item<->OSM-element mutual-best matching, distributed.
+
+Reproduces the semantics of the reference's flagship operator
+(Osmalyzer/Correlator/Correlator.cs:30-301):
+
+- candidate generation within `seek_distance` = max over strengths of
+  unmatch_distance + per-strength extra (Correlator.cs:69-71);
+- per-pair match strength (Unmatched=0 / Regular=1 / Good=2 / Strong=3)
+  from a caller-supplied column expression (the reference's
+  MatchCallbackParameter, vectorized here);
+- per-strength allowed distance (Correlator.cs:151-163);
+- iterative mutual-best assignment: an item scans its candidates in
+  ascending distance and claims the first claimable element; an element is
+  stolen only by a strictly stronger match, or an equal-strength strictly
+  closer one (Correlator.cs:190-217); displaced items requeue until fixed
+  point (Correlator.cs:114-228);
+- `far` flag when the matched distance exceeds match_distance
+  (Correlator.cs:192);
+- reverse pass: unmatched elements become `lone_osm` if the lone-allowance
+  predicate holds, with an optional strong-match upgrade against
+  still-unmatched items (Correlator.cs:236-301), else `unmatched_osm`;
+- polygon prefilter of items (Correlator.cs:82-87).
+
+Why this terminates with the same answer as the sequential loop: an
+element's held match only ever improves (strict preference), so an item
+rejected by an element can never claim it later — the process is
+deferred-acceptance (Gale-Shapley) with item preference = (distance asc)
+and element preference = (strength desc, distance asc). With strict
+preferences (deterministic id tie-breaks) the proposer-optimal stable
+matching is unique and independent of processing order, so a synchronous
+distributed round schedule produces the reference's fixed point. (The
+reference breaks exact ties by encounter order; we break by id — parity
+tests construct tie-free fixtures, mirroring SURVEY.md §7.3.)
+
+Scale discipline: the assignment loop shuffles only the slim candidate
+table (item_id, elem_id, strength, dist). Payload columns — in particular
+image `bytes` — are rejected at the door; re-join them by id afterwards.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from osmalyzer_spark.geo.polygon import Polygon, contains_expr
+from osmalyzer_spark.operators.knn import SaltSpec, radius_join
+
+# MatchStrength (reference: Osmalyzer/Correlator/MatchStrength.cs)
+UNMATCHED = 0
+REGULAR = 1
+GOOD = 2
+STRONG = 3
+
+KIND_MATCHED = "matched"
+KIND_MATCHED_FAR = "matched_far"
+KIND_UNMATCHED_ITEM = "unmatched_item"
+KIND_UNMATCHED_OSM = "unmatched_osm"
+KIND_LONE_OSM = "lone_osm"
+KIND_OUTSIDE_BOUNDS = "outside_bounds"
+
+
+@dataclass
+class CorrelatorParams:
+    """Mirrors Osmalyzer/Correlator/Parameters/* defaults."""
+
+    match_distance: float = 15.0  # MatchDistanceParamater default
+    unmatch_distance: float = 75.0  # MatchFarDistanceParamater default
+    good_extra_distance: float = 0.0  # MatchExtraDistanceParamater(Good)
+    strong_extra_distance: float = 0.0  # MatchExtraDistanceParamater(Strong)
+    match_anywhere: bool = False  # MatchAnywhereParamater
+    # pair DataFrame -> int strength column (MatchCallbackParameter);
+    # None => every in-range pair is Regular (Correlator.cs:138-140)
+    strength_expr: Callable[[DataFrame], Column] | None = None
+    # element DataFrame -> bool column (LoneElementAllowanceParameter)
+    lone_allowance_expr: Callable[[DataFrame], Column] | None = None
+    # MatchLoneElementsOnStrongMatchParamater: minimum strength to upgrade
+    lone_strong_match_strength: int | None = None
+    # optional distance cap for the upgrade pass (reference is unbounded;
+    # a bound keeps the residual join from going quadratic at scale)
+    lone_upgrade_radius_m: float | None = None
+    polygon: Polygon | None = None  # FilterItemsToPolygonParamater
+    report_outside_polygon: bool = True
+    salt: SaltSpec | None = None
+    broadcast_items: bool = False
+    max_rounds: int = 64
+
+    @property
+    def seek_distance(self) -> float:
+        return max(
+            self.unmatch_distance,
+            self.unmatch_distance + self.good_extra_distance,
+            self.unmatch_distance + self.strong_extra_distance,
+        )
+
+
+@dataclass
+class CorrelationResult:
+    matched: DataFrame  # item_id, elem_id, strength, dist_m, far
+    unmatched_items: DataFrame  # item_id
+    unmatched_elements: DataFrame  # elem_id
+    lone_elements: DataFrame  # elem_id
+    outside_items: DataFrame | None = None  # item_id
+    rounds: int = 0
+
+    @property
+    def correlations(self) -> DataFrame:
+        """Unified six-kind correlation DataFrame
+        (reference: Correlator.cs:558-576 Correlation list)."""
+        m = self.matched.select(
+            F.when(F.col("far"), F.lit(KIND_MATCHED_FAR))
+            .otherwise(F.lit(KIND_MATCHED))
+            .alias("kind"),
+            F.col("elem_id").alias("osm_id"),
+            "item_id",
+            F.col("dist_m").alias("distance"),
+            "strength",
+            "far",
+        )
+
+        def _only(df: DataFrame, kind: str, id_col: str, as_osm: bool) -> DataFrame:
+            return df.select(
+                F.lit(kind).alias("kind"),
+                (F.col(id_col) if as_osm else F.lit(None).cast("long")).alias("osm_id"),
+                (F.lit(None).cast("string") if as_osm else F.col(id_col)).alias(
+                    "item_id"
+                ),
+                F.lit(None).cast("double").alias("distance"),
+                F.lit(None).cast("int").alias("strength"),
+                F.lit(None).cast("boolean").alias("far"),
+            )
+
+        out = m
+        out = out.unionByName(_only(self.unmatched_items, KIND_UNMATCHED_ITEM, "item_id", False))
+        out = out.unionByName(_only(self.unmatched_elements, KIND_UNMATCHED_OSM, "elem_id", True))
+        out = out.unionByName(_only(self.lone_elements, KIND_LONE_OSM, "elem_id", True))
+        if self.outside_items is not None:
+            out = out.unionByName(
+                _only(self.outside_items, KIND_OUTSIDE_BOUNDS, "item_id", False)
+            )
+        return out
+
+    @property
+    def summary(self) -> DataFrame:
+        """Per-kind tallies (reference report summary, Correlator.cs:315+)."""
+        return self.correlations.groupBy("kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _no_binary(df: DataFrame, side: str) -> None:
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.BinaryType):
+            raise ValueError(
+                f"{side} carries binary column {f.name!r}: strip payload before "
+                "correlating and re-join by id afterwards (shuffle discipline)"
+            )
+
+
+def deferred_acceptance(
+    spark: SparkSession,
+    cand: DataFrame,
+    proposer: str,
+    acceptor: str,
+    proposer_order: list[Column],
+    acceptor_order: list[Column],
+    max_rounds: int = 64,
+) -> tuple[DataFrame, int]:
+    """Distributed Gale-Shapley over a candidate-pair DataFrame.
+
+    Returns (holds, rounds): holds has one row per matched acceptor, the
+    proposer-optimal stable matching. Each round shuffles only the pair
+    table; lineage is truncated per round with localCheckpoint.
+    """
+    w_pref = Window.partitionBy(proposer).orderBy(*proposer_order)
+    remaining = cand.withColumn(
+        "__pref", F.row_number().over(w_pref)
+    ).localCheckpoint(eager=True)
+    holds = spark.createDataFrame([], remaining.schema)
+    rounds = 0
+    for rounds in range(1, max_rounds + 1):
+        unassigned = (
+            remaining.select(proposer)
+            .distinct()
+            .join(holds.select(proposer), proposer, "left_anti")
+        )
+        props = remaining.join(unassigned, proposer, "left_semi")
+        w1 = Window.partitionBy(proposer).orderBy("__pref")
+        props = props.withColumn("__rn", F.row_number().over(w1)).filter(
+            F.col("__rn") == 1
+        ).drop("__rn")
+        if props.isEmpty():
+            break
+        contenders = holds.unionByName(props)
+        w_acc = Window.partitionBy(acceptor).orderBy(*acceptor_order)
+        contenders = contenders.withColumn("__win", F.row_number().over(w_acc))
+        new_holds = (
+            contenders.filter(F.col("__win") == 1)
+            .drop("__win")
+            .localCheckpoint(eager=True)
+        )
+        losers = contenders.filter(F.col("__win") > 1).select(proposer, acceptor)
+        remaining = remaining.join(
+            losers, [proposer, acceptor], "left_anti"
+        ).localCheckpoint(eager=True)
+        holds = new_holds
+    return holds.drop("__pref"), rounds
+
+
+def correlate(
+    spark: SparkSession,
+    elements: DataFrame,
+    items: DataFrame,
+    params: CorrelatorParams | None = None,
+) -> CorrelationResult:
+    """Run the correlator.
+
+    `elements` needs columns (elem_id, elem_lat, elem_lon) plus whatever
+    the strength / lone-allowance expressions reference; `items` needs
+    (item_id, item_lat, item_lon) likewise. All other columns ride into
+    the candidate pairs — keep the inputs slim (no binary payloads).
+    """
+    p = params or CorrelatorParams()
+    _no_binary(elements, "elements")
+    _no_binary(items, "items")
+
+    outside = None
+    if p.polygon is not None:
+        inside = contains_expr(p.polygon, "item_lat", "item_lon")
+        items = items.withColumn("__inside", inside).persist()
+        outside = (
+            items.filter(~F.col("__inside")).select("item_id")
+            if p.report_outside_polygon
+            else None
+        )
+        items = items.filter(F.col("__inside")).drop("__inside")
+
+    # --- candidate pairs -------------------------------------------------
+    if p.match_anywhere:
+        pairs = items.crossJoin(elements).withColumn("dist_m", F.lit(0.0))
+    else:
+        pairs = radius_join(
+            items,
+            elements,
+            p.seek_distance,
+            probe_coords=("item_lat", "item_lon"),
+            build_coords=("elem_lat", "elem_lon"),
+            dist_col="dist_m",
+            broadcast_probe=p.broadcast_items,
+            salt=p.salt,
+        )
+    strength = (
+        p.strength_expr(pairs) if p.strength_expr is not None else F.lit(REGULAR)
+    )
+    pairs = pairs.withColumn("strength", strength.cast("int"))
+    pairs = pairs.filter(F.col("strength") > UNMATCHED)
+    if not p.match_anywhere:
+        allowed = (
+            F.when(F.col("strength") == REGULAR, F.lit(p.unmatch_distance))
+            .when(F.col("strength") == GOOD, F.lit(p.unmatch_distance + p.good_extra_distance))
+            .otherwise(F.lit(p.unmatch_distance + p.strong_extra_distance))
+        )
+        pairs = pairs.filter(F.col("dist_m") <= allowed)
+    cand = pairs.select("item_id", "elem_id", "strength", "dist_m")
+
+    # --- forward assignment (items propose) ------------------------------
+    if p.match_anywhere:
+        # distance is meaningless; the reference takes the "first" element
+        # (list order) — we define first = lowest elem_id (SURVEY §7.3)
+        proposer_order = [F.col("elem_id").asc()]
+        acceptor_order = [F.col("strength").desc(), F.col("item_id").asc()]
+    else:
+        proposer_order = [F.col("dist_m").asc(), F.col("elem_id").asc()]
+        acceptor_order = [
+            F.col("strength").desc(),
+            F.col("dist_m").asc(),
+            F.col("item_id").asc(),
+        ]
+    holds, rounds = deferred_acceptance(
+        spark, cand, "item_id", "elem_id", proposer_order, acceptor_order, p.max_rounds
+    )
+    matched = holds.withColumn(
+        "far",
+        F.lit(False) if p.match_anywhere else F.col("dist_m") > F.lit(p.match_distance),
+    ).localCheckpoint(eager=True)
+
+    # --- reverse pass (unmatched elements) --------------------------------
+    unmatched_items = items.join(
+        matched.select("item_id"), "item_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    unmatched_elems = elements.join(
+        matched.select("elem_id"), "elem_id", "left_anti"
+    )
+    if p.lone_allowance_expr is not None:
+        unmatched_elems = unmatched_elems.withColumn(
+            "__lone", p.lone_allowance_expr(unmatched_elems)
+        ).localCheckpoint(eager=True)
+        lone_cand = unmatched_elems.filter(F.col("__lone")).drop("__lone")
+        plain_unmatched = unmatched_elems.filter(~F.col("__lone")).drop("__lone")
+    else:
+        lone_cand = unmatched_elems.limit(0)
+        plain_unmatched = unmatched_elems
+
+    # --- lone strong-match upgrade (Correlator.cs:249-287) ----------------
+    if (
+        p.lone_strong_match_strength is not None
+        and p.strength_expr is not None
+        and not p.match_anywhere
+    ):
+        if p.lone_upgrade_radius_m is not None:
+            up_pairs = radius_join(
+                lone_cand,
+                unmatched_items,
+                p.lone_upgrade_radius_m,
+                probe_coords=("elem_lat", "elem_lon"),
+                build_coords=("item_lat", "item_lon"),
+                dist_col="dist_m",
+            )
+        else:
+            from osmalyzer_spark.geo.distance import haversine_m
+
+            up_pairs = lone_cand.crossJoin(unmatched_items).withColumn(
+                "dist_m",
+                haversine_m("item_lat", "item_lon", "elem_lat", "elem_lon"),
+            )
+        up_pairs = up_pairs.withColumn(
+            "strength", p.strength_expr(up_pairs).cast("int")
+        ).filter(F.col("strength") >= F.lit(p.lone_strong_match_strength))
+        up_cand = up_pairs.select("item_id", "elem_id", "strength", "dist_m")
+        # elements propose for their best item; items accept their best
+        up_holds, _ = deferred_acceptance(
+            spark,
+            up_cand,
+            proposer="elem_id",
+            acceptor="item_id",
+            proposer_order=[
+                F.col("strength").desc(),
+                F.col("dist_m").asc(),
+                F.col("item_id").asc(),
+            ],
+            acceptor_order=[
+                F.col("strength").desc(),
+                F.col("dist_m").asc(),
+                F.col("elem_id").asc(),
+            ],
+            max_rounds=p.max_rounds,
+        )
+        upgrades = up_holds.withColumn(
+            "far", F.col("dist_m") > F.lit(p.match_distance)
+        ).localCheckpoint(eager=True)
+        matched = matched.unionByName(upgrades)
+        lone_cand = lone_cand.join(upgrades.select("elem_id"), "elem_id", "left_anti")
+        unmatched_items = unmatched_items.join(
+            upgrades.select("item_id"), "item_id", "left_anti"
+        )
+
+    return CorrelationResult(
+        matched=matched,
+        unmatched_items=unmatched_items.select("item_id"),
+        unmatched_elements=plain_unmatched.select("elem_id"),
+        lone_elements=lone_cand.select("elem_id"),
+        outside_items=outside,
+        rounds=rounds,
+    )

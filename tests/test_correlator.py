@@ -1,0 +1,232 @@
+"""Correlator parity: micro-scenes with hand-computed outcomes (FIXTURES §6)
+plus randomized equivalence against the sequential oracle replaying
+Correlator.cs:110-301."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmalyzer_spark.geo.polygon import Polygon
+from osmalyzer_spark.operators.correlator import (
+    GOOD,
+    REGULAR,
+    STRONG,
+    CorrelatorParams,
+    correlate,
+)
+from tests.oracle_correlator import correlate_oracle, haversine
+
+LAT0, LON0 = 56.95, 24.10
+
+
+def at(d_north_m, d_east_m, lat0=LAT0, lon0=LON0):
+    lat = lat0 + d_north_m / 111_320.0
+    lon = lon0 + d_east_m / (111_320.0 * math.cos(math.radians(lat0)))
+    return lat, lon
+
+
+def make_dfs(spark, elements, items):
+    edf = spark.createDataFrame(
+        [(e["elem_id"], e["lat"], e["lon"], e.get("tag")) for e in elements],
+        "elem_id long, elem_lat double, elem_lon double, elem_tag string",
+    )
+    idf = spark.createDataFrame(
+        [(i["item_id"], i["lat"], i["lon"], i.get("tag")) for i in items],
+        "item_id string, item_lat double, item_lon double, item_tag string",
+    )
+    return edf, idf
+
+
+def tag_strength_expr(df):
+    return (
+        F.when(
+            F.col("item_tag").isNotNull() & (F.col("item_tag") == F.col("elem_tag")),
+            F.lit(STRONG),
+        )
+        .otherwise(F.lit(REGULAR))
+    )
+
+
+def tag_strength_fn(item, elem):
+    if item.get("tag") is not None and item.get("tag") == elem.get("tag"):
+        return STRONG
+    return REGULAR
+
+
+def run_both(spark, elements, items, params: CorrelatorParams, lone_fn=None):
+    edf, idf = make_dfs(spark, elements, items)
+    res = correlate(spark, edf, idf, params)
+    oracle = correlate_oracle(
+        elements,
+        items,
+        tag_strength_fn,
+        match_distance=params.match_distance,
+        unmatch_distance=params.unmatch_distance,
+        good_extra=params.good_extra_distance,
+        strong_extra=params.strong_extra_distance,
+        lone_fn=lone_fn,
+        lone_strong_strength=params.lone_strong_match_strength,
+    )
+    got_matched = {
+        r["elem_id"]: (r["item_id"], r["strength"], r["dist_m"], r["far"])
+        for r in res.matched.collect()
+    }
+    assert set(got_matched) == set(oracle.matched), (
+        f"matched elem sets differ: extra={set(got_matched)-set(oracle.matched)} "
+        f"missing={set(oracle.matched)-set(got_matched)}"
+    )
+    for eid, (iid, s, d, far) in oracle.matched.items():
+        giid, gs, gd, gfar = got_matched[eid]
+        assert giid == iid, f"elem {eid}: {giid} != {iid}"
+        assert gs == s and gfar == far
+        assert gd == pytest.approx(d, rel=1e-9)
+    assert sorted(r["item_id"] for r in res.unmatched_items.collect()) == oracle.unmatched_items
+    assert sorted(r["elem_id"] for r in res.unmatched_elements.collect()) == oracle.unmatched_elements
+    assert sorted(r["elem_id"] for r in res.lone_elements.collect()) == oracle.lone_elements
+    return res, oracle
+
+
+def test_scene_contention_closer_wins(spark):
+    """Two items contend for one element; closer wins, loser takes next."""
+    e1 = dict(elem_id=1, **dict(zip(("lat", "lon"), at(0, 0))))
+    e2 = dict(elem_id=2, **dict(zip(("lat", "lon"), at(0, 60))))
+    i1 = dict(item_id="a", **dict(zip(("lat", "lon"), at(0, 10))))  # 10 m from e1
+    i2 = dict(item_id="b", **dict(zip(("lat", "lon"), at(0, 20))))  # 20 m from e1, 40 from e2
+    res, oracle = run_both(spark, [e1, e2], [i1, i2], CorrelatorParams())
+    assert oracle.matched[1][0] == "a"
+    assert oracle.matched[2][0] == "b"
+
+
+def test_scene_strength_beats_distance(spark):
+    """Strong @60m steals from Regular @10m (Correlator.cs:197)."""
+    e1 = dict(elem_id=1, tag="T", **dict(zip(("lat", "lon"), at(0, 0))))
+    i_near = dict(item_id="near", **dict(zip(("lat", "lon"), at(0, 10))))
+    i_strong = dict(item_id="strong", tag="T", **dict(zip(("lat", "lon"), at(0, -60))))
+    res, oracle = run_both(
+        spark, [e1], [i_near, i_strong], CorrelatorParams(strength_expr=tag_strength_expr)
+    )
+    assert oracle.matched[1][0] == "strong"
+    assert "near" in oracle.unmatched_items
+
+
+def test_scene_far_flag(spark):
+    """Matched at ~40 m with matchDistance=15 -> far (Correlator.cs:192)."""
+    e1 = dict(elem_id=1, **dict(zip(("lat", "lon"), at(0, 0))))
+    i1 = dict(item_id="a", **dict(zip(("lat", "lon"), at(0, 40))))
+    res, oracle = run_both(spark, [e1], [i1], CorrelatorParams())
+    assert oracle.matched[1][3] is True  # far
+    kinds = {r["kind"] for r in res.correlations.collect()}
+    assert "matched_far" in kinds
+
+
+def test_scene_strong_extra_distance(spark):
+    """Strong item at ~400 m matches with strong_extra=700 (allowed 775);
+    a regular item at 400 m would not."""
+    e1 = dict(elem_id=1, tag="ADDR", **dict(zip(("lat", "lon"), at(0, 0))))
+    i_strong = dict(item_id="s", tag="ADDR", **dict(zip(("lat", "lon"), at(0, 400))))
+    i_reg = dict(item_id="r", **dict(zip(("lat", "lon"), at(300, 400))))
+    params = CorrelatorParams(strong_extra_distance=700.0, strength_expr=tag_strength_expr)
+    res, oracle = run_both(spark, [e1], [i_strong, i_reg], params)
+    assert oracle.matched[1][0] == "s"
+    assert oracle.matched[1][3] is True  # still far (> 15 m)
+    assert "r" in oracle.unmatched_items
+
+
+def test_scene_lone_allowance_and_strong_upgrade(spark):
+    """Unmatched element with lone allowance; one is upgraded to a match
+    against a far-away strong item (Correlator.cs:249-287), the other stays
+    lone; a third unmatched element without allowance is unmatched_osm."""
+    e_upgr = dict(elem_id=1, tag="REF9", **dict(zip(("lat", "lon"), at(0, 0))))
+    e_lone = dict(elem_id=2, tag="LONE", **dict(zip(("lat", "lon"), at(5000, 0))))
+    e_plain = dict(elem_id=3, **dict(zip(("lat", "lon"), at(-5000, 0))))
+    i_far_strong = dict(item_id="x", tag="REF9", **dict(zip(("lat", "lon"), at(0, 2000))))
+    params = CorrelatorParams(
+        strength_expr=tag_strength_expr,
+        lone_allowance_expr=lambda df: F.col("elem_tag").isNotNull(),
+        lone_strong_match_strength=STRONG,
+    )
+    res, oracle = run_both(
+        spark,
+        [e_upgr, e_lone, e_plain],
+        [i_far_strong],
+        params,
+        lone_fn=lambda e: e.get("tag") is not None,
+    )
+    assert oracle.matched[1][0] == "x"
+    assert oracle.lone_elements == [2]
+    assert oracle.unmatched_elements == [3]
+
+
+def test_scene_polygon_prefilter(spark):
+    box = Polygon(
+        outers=[np.array([(56.0, 23.0), (56.0, 25.0), (58.0, 25.0), (58.0, 23.0)])],
+        polygon_id="bounds",
+    )
+    e1 = dict(elem_id=1, **dict(zip(("lat", "lon"), at(0, 0))))
+    i_in = dict(item_id="in", **dict(zip(("lat", "lon"), at(0, 10))))
+    i_out = dict(item_id="out", lat=59.5, lon=24.0)
+    edf, idf = make_dfs(spark, [e1], [i_in, i_out])
+    res = correlate(spark, edf, idf, CorrelatorParams(polygon=box))
+    assert [r["item_id"] for r in res.outside_items.collect()] == ["out"]
+    assert {r["item_id"]: r["elem_id"] for r in res.matched.collect()} == {"in": 1}
+    kinds = dict(res.summary.collect())
+    assert kinds.get("outside_bounds") == 1
+
+
+def test_match_anywhere(spark):
+    """matchAnywhere: distance ignored, first (lowest-id) element wins."""
+    e1 = dict(elem_id=7, tag="T", lat=56.0, lon=24.0)
+    e2 = dict(elem_id=9, tag="T", lat=57.9, lon=27.0)
+    i1 = dict(item_id="a", tag="T", lat=55.7, lon=21.0)
+    edf, idf = make_dfs(spark, [e1, e2], [i1])
+    res = correlate(
+        spark,
+        edf,
+        idf,
+        CorrelatorParams(match_anywhere=True, strength_expr=tag_strength_expr),
+    )
+    rows = res.matched.collect()
+    assert len(rows) == 1 and rows[0]["elem_id"] == 7 and rows[0]["far"] is False
+    assert [r["elem_id"] for r in res.unmatched_elements.collect()] == [9]
+
+
+def test_payload_discipline_rejects_binary(spark):
+    edf = spark.createDataFrame(
+        [(1, 56.0, 24.0, bytearray(b"x"))],
+        "elem_id long, elem_lat double, elem_lon double, payload binary",
+    )
+    idf = spark.createDataFrame(
+        [("a", 56.0, 24.0)], "item_id string, item_lat double, item_lon double"
+    )
+    with pytest.raises(ValueError, match="binary"):
+        correlate(spark, edf, idf, CorrelatorParams())
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_randomized_oracle_equivalence(spark, seed):
+    """Distributed deferred acceptance reaches the sequential fixed point
+    on dense random scenes with mixed strengths."""
+    rng = np.random.default_rng(seed)
+    n_elem, n_item = 120, 90
+    tags = ["A", "B", "C", None]
+    elements = []
+    for j in range(n_elem):
+        lat, lon = at(float(rng.uniform(-400, 400)), float(rng.uniform(-400, 400)))
+        elements.append(
+            dict(elem_id=j, lat=lat, lon=lon, tag=tags[int(rng.integers(0, 4))])
+        )
+    items = []
+    for j in range(n_item):
+        lat, lon = at(float(rng.uniform(-400, 400)), float(rng.uniform(-400, 400)))
+        items.append(
+            dict(item_id=f"it{j:03d}", lat=lat, lon=lon, tag=tags[int(rng.integers(0, 4))])
+        )
+    params = CorrelatorParams(
+        match_distance=15.0,
+        unmatch_distance=75.0,
+        strong_extra_distance=120.0,
+        strength_expr=tag_strength_expr,
+    )
+    run_both(spark, elements, items, params)
