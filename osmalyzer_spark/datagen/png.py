@@ -1,0 +1,94 @@
+"""Minimal deterministic PNG codec (stdlib zlib + struct only).
+
+The container has no imaging libraries; the engine's image payloads are
+tiny synthesized PNGs (8-bit RGB, filter 0 on every scanline). The decoder
+handles exactly what the encoder emits plus any standard filter-0 RGB PNG.
+Lossless, so the per-row pixel invariant (PSNR >= 40 dB, here infinite)
+is checkable end-to-end without PIL.
+
+JPEG is a declared stub: the schema/plumbing treat fmt='jpeg' rows
+identically (opaque bytes ride through untouched); only *decoding* them
+raises NotImplementedError until a real codec is available.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(rgb: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 -> PNG bytes (8-bit RGB, filter 0)."""
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w, _ = rgb.shape
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b"")
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode filter-0 8-bit RGB PNG -> (h, w, 3) uint8."""
+    if not data.startswith(_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_SIG)
+    w = h = None
+    idat = []
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", body)
+            if bit_depth != 8 or color_type != 2 or interlace != 0:
+                raise NotImplementedError("only 8-bit RGB non-interlaced PNG supported")
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = 1 + 3 * w
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    filters = rows[:, 0]
+    pix = rows[:, 1:].reshape(h, w, 3)
+    if not (filters == 0).all():
+        raise NotImplementedError(
+            "only filter-0 scanlines supported (all PNGs produced by this "
+            "engine's encoder use filter 0)"
+        )
+    return np.ascontiguousarray(pix)
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return png_decode(bytes(data))
+    if fmt == "jpeg":
+        # STUB: no JPEG codec in this container. The Spark-side plumbing
+        # (schema, partitioning, UDF batch shape) is identical to PNG;
+        # wire a real decoder here when libjpeg/PIL is available.
+        raise NotImplementedError("jpeg decode not available in this environment")
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB; inf for identical images."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

@@ -1,0 +1,283 @@
+"""Document deduplication operators for training-data pipelines.
+
+Four tiers, all shuffle-disciplined for 100 TB inputs:
+
+- exact_dedup: hash-groupBy on a normalization of the text (one shuffle).
+- minhash_lsh: k-shingle MinHash signatures (ONE vectorized pandas UDF),
+  then everything JVM-side: band keys via xxhash64 over signature slices,
+  posexplode, equi-join on (band, key), signature-estimated jaccard filter.
+  Candidate generation never compares all pairs — only bucket collisions.
+- simhash: 64-bit sign-of-weighted-token-hash fingerprint (pandas UDF),
+  hamming distance natively via bit_count(a ^ b); candidates from 16-bit
+  band buckets (any pair within hamming<=3 of a 64-bit hash shares at
+  least one of 4 bands — pigeonhole).
+- ngram_jaccard_exact: exact word-set jaccard via token inverted-index
+  join with the size-band prefilter (J >= t implies max_size <= min_size/t),
+  for small/verification workloads.
+
+The reference's only dedup is an O(n^2) pairwise comparer
+(Core/OsmData.cs:290-334); these are its scale-path replacements.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalized: bool = True) -> DataFrame:
+    """Groups of rows with identical (optionally token-set-normalized)
+    text. Output: fingerprint, n_docs, keep_id (min id), member ids."""
+    if normalized:
+        fp = F.md5(F.concat_ws("\x1f", F.array_sort(F.array_distinct(F.split(F.col(text_col), r"\s+")))))
+    else:
+        fp = F.md5(F.col(text_col))
+    return (
+        df.withColumn("fingerprint", fp)
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    toks = text.split()
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks))
+    out = np.empty(max(1, len(toks) - k + 1), dtype=np.uint64)
+    for i in range(len(out)):
+        out[i] = zlib.crc32(" ".join(toks[i : i + k]).encode())
+    return np.unique(out)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash over k-word shingles.
+
+    The only Python step in the pipeline: one Arrow-vectorized pandas UDF;
+    the permutation family ((a*x + b) mod 2^61-1) is evaluated as a single
+    numpy broadcast per document.
+    """
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    B = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_hashes(t or "", shingle_k).astype(np.object_)  # python ints: no overflow
+            vals = (A.astype(np.object_)[:, None] * sh[None, :] + B.astype(np.object_)[:, None]) % _MERSENNE
+            out.append(np.asarray(vals.min(axis=1), dtype=np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from LSH banding + signature-estimated jaccard.
+
+    Output: (id_a, id_b, est_jaccard) with est_jaccard >= threshold.
+    All JVM-side: band keys are xxhash64 over signature slices.
+    """
+    num_hashes = len(sigs.select("sig").first()["sig"])
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes {num_hashes} not divisible by bands {bands}")
+    r = num_hashes // bands
+    band_keys = F.array(
+        *[
+            F.xxhash64(F.slice("sig", i * r + 1, r), F.lit(i))
+            for i in range(bands)
+        ]
+    )
+    exploded = sigs.select("id", "sig", F.posexplode(band_keys).alias("band", "key"))
+    a = exploded.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
+    )
+    b = exploded.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(num_hashes)
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    return minhash_lsh_pairs(sigs, bands, threshold)
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, simhash: long) 64-bit SimHash over word tokens (count-weighted)."""
+
+    @F.pandas_udf(T.LongType())
+    def sim_udf(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                out[i] = 0
+                continue
+            hashes = np.array(
+                [
+                    zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode() + b"#") << 32)
+                    for w in toks
+                ],
+                dtype=np.uint64,
+            )
+            bits = (hashes[:, None] >> bit_idx[None, :]) & 1  # (n_tok, 64)
+            score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            fp = np.uint64(0)
+            for b in np.where(score > 0)[0]:
+                fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Candidates via 16-bit band buckets (4 bands: any pair with <=3
+    differing bits shares an identical band); verification is native
+    bit_count(a ^ b).
+    """
+    bands_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    exploded = fps.select("id", "simhash", F.posexplode(bands_arr).alias("band", "key"))
+    a = exploded.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "band", "key")
+    b = exploded.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "band", "key")
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.6
+) -> DataFrame:
+    """Exact word-set jaccard pairs >= threshold via inverted-index join.
+
+    Size-band prefilter: J(A,B) >= t implies |B| <= |A|/t (and vice
+    versa) — applied before the expensive grouped count so skewed common
+    tokens don't explode the shuffle more than necessary. Quadratic in
+    bucket sizes; use minhash_dedup at scale.
+    """
+    words = (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(F.split(F.col(text_col), r"\s+"))).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    sizes = words.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    wa = words.join(sizes, "doc").select(
+        F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "w"
+    )
+    wb = words.join(sizes, "doc").select(
+        F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "w"
+    )
+    common = (
+        wa.join(
+            wb,
+            (wa.w == wb.w)
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.greatest("sz_a", "sz_b") * threshold <= F.least("sz_a", "sz_b")),
+        )
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def connected_components_greedy(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Union-find over dup pairs: map every id to the min id of its
+    component (label propagation, converges in O(log n) rounds for the
+    short chains dedup produces). Output: (id, component)."""
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "component")
+        )
+        prop = (
+            neigh.union(labels.select("node", "component"))
+            .groupBy("node")
+            .agg(F.min("component").alias("new_component"))
+        )
+        joined = labels.join(prop, "node")
+        changed = joined.filter(F.col("new_component") < F.col("component")).limit(1).count()
+        labels = joined.select(
+            "node", F.least("component", "new_component").alias("component")
+        ).localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), "component")

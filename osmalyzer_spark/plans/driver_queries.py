@@ -343,30 +343,12 @@ def q15_dedup_tokenset(spark, sf_dir):
 
 
 def q16_ngram_jaccard(spark, sf_dir):
-    """Near-dup: token-set Jaccard >= 0.6 document pairs (word-level)."""
+    """Near-dup: exact token-set Jaccard >= 0.6 pairs via the
+    inverted-index operator (size-band prefilter preserves semantics)."""
+    from osmalyzer_spark.operators.dedup import ngram_jaccard_pairs
+
     docs = _t(spark, sf_dir, "documents")
-    words = (
-        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
-        .filter(F.col("w") != "")
-    )
-    sizes = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = words.alias("a")
-    b = words.alias("b")
-    common = (
-        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= 0.6)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.6)
 
 
 def q17_cosine_topk(spark, sf_dir):
@@ -419,6 +401,64 @@ def q19_lang_guess(spark, sf_dir):
         "doc_id",
         F.when(n_stop >= 3, F.lit("en")).otherwise(F.lit("other")).alias("guess"),
         "lang",
+    )
+
+
+def q21_minhash_lsh(spark, sf_dir):
+    """Dedup scale path: MinHash(128)+LSH(32 bands) near-dup candidate
+    pairs with signature-estimated jaccard >= 0.5. Non-SQL (hash family);
+    pytest verifies estimates against exact shingle jaccard."""
+    from osmalyzer_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", threshold=0.5, num_hashes=128, bands=32)
+
+
+def q22_simhash(spark, sf_dir):
+    """Dedup: 64-bit SimHash fingerprints, near pairs at hamming <= 8 via
+    16-bit band buckets + native bit_count. Non-SQL (hash family)."""
+    from osmalyzer_spark.operators.dedup import simhash_fingerprints, simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(simhash_fingerprints(docs, "doc_id", "text"), max_hamming=8)
+
+
+def q23_embedding_near_dup(spark, sf_dir):
+    """Dedup tier 4: embedding-cosine near-dup pairs via hyperplane LSH
+    buckets + exact verify. Threshold 0.4 because the synthetic embeddings
+    have no true dups (max pairwise cosine ~0.51) — the operator still
+    exercises bucket-join + rerank end to end. Non-SQL (plane family)."""
+    from osmalyzer_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+def q24_cosine_lsh(spark, sf_dir):
+    """ANN scale path: LSH-bucketed cosine top-3 for probes vec_id < 20
+    (recall checked against q17's exact answer in pytest). Non-SQL."""
+    from osmalyzer_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_lsh(emb, probes, k=3, n_planes=10, n_tables=4)
+
+
+def q25_tile_region(spark, sf_dir):
+    """Raster-tile<->vector assignment (north_star): zoom-12 tile id +
+    inside/outside the concave PIP_RING region, per-tile-region counts."""
+    import numpy as np
+
+    from osmalyzer_spark.geo.polygon import Polygon, contains_expr
+    from osmalyzer_spark.operators.tiles import assign_tiles
+
+    poly = Polygon(outers=[np.array(PIP_RING, dtype=float)], polygon_id="region")
+    elems = _geo_customers(spark, sf_dir)
+    assigned = assign_tiles(elems, zoom=12, lat="elem_lat", lon="elem_lon")
+    return (
+        assigned.withColumn("in_region", contains_expr(poly, "elem_lat", "elem_lon"))
+        .groupBy("tile_x", "tile_y", "in_region")
+        .agg(F.count(F.lit(1)).alias("n_points"))
     )
 
 
@@ -627,6 +667,14 @@ _ORACLES: dict[str, str] = {
         )
         SELECT type_seq, count(*) AS n_users FROM seqs GROUP BY type_seq
     """,
+    "q25_tile_region": f"""
+        WITH c AS ({_GEO_CUST_SQL})
+        SELECT CAST(floor((elem_lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
+               CAST(floor((1.0 - ln(tan(radians(elem_lat)) + 1.0/cos(radians(elem_lat))) / 3.141592653589793) / 2.0 * 4096) AS BIGINT) AS tile_y,
+               ({_pip_crossings_sql("elem_lat", "elem_lon")}) % 2 = 1 AS in_region,
+               count(*) AS n_points
+        FROM c GROUP BY 1, 2, 3
+    """,
 }
 
 
@@ -652,6 +700,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_text_quality": q18_text_quality,
         "q19_lang_guess": q19_lang_guess,
         "q20_route_variants": q20_route_variants,
+        "q21_minhash_lsh": q21_minhash_lsh,
+        "q22_simhash": q22_simhash,
+        "q23_embedding_near_dup": q23_embedding_near_dup,
+        "q24_cosine_lsh": q24_cosine_lsh,
+        "q25_tile_region": q25_tile_region,
     }
 
 

@@ -1,0 +1,187 @@
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmalyzer_spark.operators.dedup import (
+    connected_components_greedy,
+    exact_dedup,
+    minhash_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from osmalyzer_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_dup_pairs,
+)
+
+VOCAB = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma tau".split()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(5)
+    rows = []
+    base_docs = []
+    for i in range(40):
+        words = [VOCAB[j] for j in rng.integers(0, len(VOCAB), 30)]
+        base_docs.append(words)
+        rows.append((i, " ".join(words)))
+    # near-duplicates: copy docs 0-9 with 2 word substitutions
+    for i in range(10):
+        words = list(base_docs[i])
+        words[3] = "REPL1"
+        words[17] = "REPL2"
+        rows.append((100 + i, " ".join(words)))
+    # exact duplicate of doc 20
+    rows.append((200, rows[20][1]))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def _true_jaccard_pairs(rows, threshold):
+    def toks(t):
+        return set(t.split())
+
+    out = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        a, b = toks(ta), toks(tb)
+        j = len(a & b) / len(a | b)
+        if j >= threshold:
+            out[(min(ia, ib), max(ia, ib))] = j
+    return out
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup(docs, "doc_id", "text", normalized=False).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2
+    assert groups[0]["keep_id"] == 20
+    assert groups[0]["members"] == [20, 200]
+
+
+def test_ngram_jaccard_exact_vs_oracle(spark, docs):
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = _true_jaccard_pairs(rows, 0.6)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.6).collect()
+    }
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-3)
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup(docs, "doc_id", "text", threshold=0.5, num_hashes=128, bands=32).collect()
+    }
+    # the 10 planted near-dups (jaccard ~0.87 on 3-shingles lower) must be found
+    for i in range(10):
+        assert (i, 100 + i) in pairs, f"missing planted near-dup {(i, 100+i)}"
+    # exact dup found
+    assert (20, 200) in pairs
+    # estimated jaccard for the exact dup is 1.0
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_dedup(docs, "doc_id", "text", threshold=0.5, num_hashes=128, bands=32).collect()
+    }
+    assert est[(20, 200)] == 1.0
+
+
+def test_minhash_signature_estimates_jaccard(spark, docs):
+    """MinHash estimate within ~0.18 of true shingle jaccard (128 hashes)."""
+    import zlib
+
+    sigs = {r["id"]: np.array(r["sig"]) for r in minhash_signatures(docs, "doc_id", "text", 128, 3).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def shingles(t):
+        toks = t.split()
+        return {zlib.crc32(" ".join(toks[i : i + 3]).encode()) for i in range(len(toks) - 2)}
+
+    rng = np.random.default_rng(3)
+    ids = list(texts)
+    for _ in range(30):
+        a, b = rng.choice(ids, 2, replace=False)
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        true_j = len(sa & sb) / len(sa | sb)
+        est_j = float((sigs[a] == sigs[b]).mean())
+        assert abs(true_j - est_j) < 0.18
+
+
+def test_simhash_identical_and_near(spark, docs):
+    fps = {r["id"]: r["simhash"] for r in simhash_fingerprints(docs, "doc_id", "text").collect()}
+    assert fps[20] == fps[200]  # identical text -> identical fingerprint
+    pairs = simhash_near_pairs(
+        spark.createDataFrame([(k, v) for k, v in fps.items()], "id long, simhash long"),
+        max_hamming=3,
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(20, 200)] == 0
+    # verify against brute force hamming <= 3
+    want = set()
+    ids = list(fps)
+    for a, b in itertools.combinations(sorted(ids), 2):
+        if bin(fps[a] ^ fps[b]).count("1") <= 3:
+            want.add((a, b))
+    assert set(got) == want
+
+
+def test_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)], "id_a long, id_b long"
+    )
+    comp = {r["id"]: r["component"] for r in connected_components_greedy(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == comp[23] == 20
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(60, 16))
+    rows = [(i, [float(x) for x in base[i]], 0) for i in range(60)]
+    # planted near-dups: 3 vectors with tiny noise
+    for j, i in enumerate([0, 1, 2]):
+        v = base[i] + rng.normal(scale=0.01, size=16)
+        rows.append((300 + j, [float(x) for x in v], 1))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int").cache()
+
+
+def test_cosine_topk_bruteforce_vs_numpy(spark, emb):
+    probes = emb.filter(F.col("vec_id") < 5)
+    got = cosine_topk_bruteforce(emb, probes, k=4).collect()
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append((r["rank"], r["cand_id"], r["cosine"]))
+    for pid in range(5):
+        pv = matn[ids == pid][0]
+        cos = matn @ pv
+        cos[ids == pid] = -np.inf
+        order = sorted(zip(-cos, ids), key=lambda t: (t[0], t[1]))[:4]
+        want = [int(i) for _, i in order]
+        have = [c for _, c, _ in sorted(by_probe[pid])]
+        assert have == want
+
+
+def test_cosine_lsh_recall(spark, emb):
+    """LSH must recover the planted near-identical neighbor as top-1."""
+    probes = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    got = cosine_topk_lsh(emb, probes, k=2, n_planes=8, n_tables=6)
+    top1 = {r["probe_id"]: r["cand_id"] for r in got.collect() if r["rank"] == 1}
+    assert top1 == {0: 300, 1: 301, 2: 302}
+
+
+def test_embedding_near_dup(spark, emb):
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb, threshold=0.99).collect()}
+    assert {(0, 300), (1, 301), (2, 302)} <= pairs

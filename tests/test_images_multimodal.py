@@ -1,0 +1,95 @@
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osmalyzer_spark.datagen.images import generate_images
+from osmalyzer_spark.datagen.png import decode_image, png_decode, png_encode, psnr
+from osmalyzer_spark.datagen.views import data_items_view, osm_elements_view
+from osmalyzer_spark.multimodal import (
+    check_payload_integrity,
+    mean_color_udf,
+    resize_images,
+)
+
+
+def test_png_roundtrip():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    assert np.array_equal(png_decode(png_encode(img)), img)
+
+
+def test_psnr():
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    assert psnr(a, a) == float("inf")
+    b = a.copy()
+    b[0, 0, 0] = 10
+    assert 0 < psnr(a, b) < 100
+
+
+def test_jpeg_decode_is_declared_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff", "jpeg")
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return generate_images(spark, 300, seed=42).cache()
+
+
+def test_images_schema_and_determinism(spark, images):
+    assert images.columns == ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    assert images.count() == 300
+    # deterministic: regenerate -> identical bytes and captions
+    again = generate_images(spark, 300, seed=42)
+    a = {r["image_id"]: (bytes(r["bytes"]), r["caption"], r["phash"]) for r in images.collect()}
+    b = {r["image_id"]: (bytes(r["bytes"]), r["caption"], r["phash"]) for r in again.collect()}
+    assert a == b
+    # bytes decode to (h, w, 3)
+    r = images.first()
+    px = decode_image(bytes(r["bytes"]), r["fmt"])
+    assert px.shape == (r["h"], r["w"], 3)
+
+
+def test_views_and_geotag_extent(spark, images):
+    elems = osm_elements_view(images)
+    rows = elems.select("elem_lat", "elem_lon", "tags").collect()
+    for r in rows:
+        assert 55.6 <= r["elem_lat"] <= 58.2
+        assert 20.9 <= r["elem_lon"] <= 28.4
+    tags = rows[0]["tags"]
+    assert set(tags) == {"name", "addr:street", "addr:housenumber", "addr:parish", "shop"}
+    items = data_items_view(images)
+    assert 0 < items.count() < 100
+    assert items.columns == ["item_id", "item_lat", "item_lon", "item_name", "item_address", "item_image_id"]
+
+
+def test_payload_integrity_identity(spark, images):
+    rep = check_payload_integrity(images, images)
+    assert rep.filter(~F.col("ok")).count() == 0
+
+
+def test_payload_integrity_catches_corruption(spark, images):
+    corrupted = images.limit(20).withColumn(
+        "caption", F.concat(F.col("caption"), F.lit("!"))
+    )
+    rep = check_payload_integrity(images.limit(20), corrupted)
+    assert rep.filter(F.col("ok")).count() == 0
+    assert rep.filter(~F.col("caption_equal")).count() == 20
+
+
+def test_resize_plumbing(spark, images):
+    small = resize_images(images.limit(10), 4, 4)
+    rows = small.collect()
+    for r in rows:
+        assert r["w"] == 4 and r["h"] == 4
+        px = decode_image(bytes(r["bytes"]), r["fmt"])
+        assert px.shape == (4, 4, 3)
+    # non-image columns ride through
+    assert {r["image_id"] for r in rows} == {r["image_id"] for r in images.limit(10).collect()}
+
+
+def test_mean_color_feature(spark, images):
+    feat = images.limit(5).select("image_id", mean_color_udf()(F.col("bytes"), F.col("fmt")).alias("rgb"))
+    for r in feat.collect():
+        assert len(r["rgb"]) == 3
+        assert all(0 <= v <= 255 for v in r["rgb"])
