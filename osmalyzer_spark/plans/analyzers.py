@@ -1,0 +1,220 @@
+"""Reference analyzers re-expressed as correlator configurations.
+
+Each analyzer is a thin config: a tag filter over the element table, a
+vectorized strength expression, and CorrelatorParams with the reference's
+exact distances. Pattern and parameters per analyzer:
+
+- shops (ShopAnalyzer.cs:77-99): filter shop in {yes, supermarket,
+  grocery, convenience} + brand substring on name/operator/brand;
+  distances 100/300, Strong extra 700; exact fuzzy-address match => Strong
+  else Good.
+- parcel lockers (ParcelLockerAnalyzer.cs:83-101): 100/200, Strong extra
+  500; same-operator => Strong, other-operator locker => Unmatched.
+- cultural monuments (CulturalMonumentsAnalyzer.cs:106-190): 30/300,
+  Strong extra 1200; strength ladder name/ref/heritage; lone allowance for
+  heritage-tagged elements; lone strong upgrade.
+- street-name grouping (StreetNameAnalyzer.cs): GroupByValues over
+  addr:street (A1/A2 pattern).
+
+All run on any DataFrame with the osm_elements/data_items view shape
+(datagen.views provides synthetic ones; a real deployment points them at
+the Iceberg tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmalyzer_spark.functions.address import fuzzy_address_match
+from osmalyzer_spark.functions.strings import brand_name_match, fuzzy_name_match
+from osmalyzer_spark.functions.tags import get_value, has_any_value, has_key
+from osmalyzer_spark.operators.correlator import (
+    GOOD,
+    REGULAR,
+    STRONG,
+    UNMATCHED,
+    CorrelationResult,
+    CorrelatorParams,
+    correlate,
+)
+
+SHOP_VALUES = ["yes", "supermarket", "grocery", "convenience"]
+
+
+def _slim_elements(elements: DataFrame, keep_tags: list[str]) -> DataFrame:
+    """Project the payload-free columns the correlator needs, materializing
+    the tag values the strength expression will read (so the candidate
+    join shuffles strings, not the whole map)."""
+    cols = [F.col("elem_id"), F.col("elem_lat"), F.col("elem_lon")]
+    for t in keep_tags:
+        cols.append(get_value("tags", t).alias(f"elem_{t.replace(':', '_')}"))
+    return elements.select(*cols)
+
+
+def shop_analyzer(
+    spark: SparkSession,
+    elements: DataFrame,
+    items: DataFrame,
+    brand_variants: list[str],
+) -> CorrelationResult:
+    """Brand shop correlation (ShopAnalyzer.cs:31-110)."""
+    shops = elements.filter(has_any_value("tags", "shop", SHOP_VALUES))
+    brand_hit = (
+        brand_name_match(get_value("tags", "name"), brand_variants)
+        | brand_name_match(get_value("tags", "operator"), brand_variants)
+        | brand_name_match(get_value("tags", "brand"), brand_variants)
+    )
+    shops = shops.filter(brand_hit)
+    slim = _slim_elements(shops, ["addr:street", "addr:housenumber"])
+    params = CorrelatorParams(
+        match_distance=100.0,
+        unmatch_distance=300.0,
+        strong_extra_distance=700.0,
+        strength_expr=lambda df: F.when(
+            fuzzy_address_match(
+                F.col("elem_addr_street"),
+                F.col("elem_addr_housenumber"),
+                F.col("item_address"),
+            ),
+            F.lit(STRONG),
+        ).otherwise(F.lit(GOOD)),
+    )
+    return correlate(spark, slim, items, params)
+
+
+def parcel_locker_analyzer(
+    spark: SparkSession,
+    elements: DataFrame,
+    items: DataFrame,
+    operator: str,
+    all_operators: list[str],
+) -> CorrelationResult:
+    """Parcel lockers (ParcelLockerAnalyzer.cs:83-101): an element tagged
+    with a DIFFERENT known operator is Unmatched; same operator (on
+    operator/brand/name) is Strong; untagged nearby is Good."""
+    lockers = elements.filter(has_any_value("tags", "amenity", ["parcel_locker"]))
+    slim = _slim_elements(lockers, ["operator", "brand", "name"])
+    others = [o for o in all_operators if o.lower() != operator.lower()]
+
+    def strength(df: DataFrame):
+        any_name = F.coalesce("elem_operator", "elem_brand", "elem_name")
+        is_mine = (
+            brand_name_match(F.col("elem_operator"), [operator])
+            | brand_name_match(F.col("elem_brand"), [operator])
+            | brand_name_match(F.col("elem_name"), [operator])
+        )
+        is_other = F.lit(False)
+        for o in others:
+            is_other = is_other | brand_name_match(any_name, [o])
+        return (
+            F.when(is_mine, F.lit(STRONG))
+            .when(is_other, F.lit(UNMATCHED))
+            .otherwise(F.lit(GOOD))
+        )
+
+    params = CorrelatorParams(
+        match_distance=100.0,
+        unmatch_distance=200.0,
+        strong_extra_distance=500.0,
+        strength_expr=strength,
+    )
+    return correlate(spark, slim, items, params)
+
+
+def cultural_monument_analyzer(
+    spark: SparkSession,
+    elements: DataFrame,
+    items: DataFrame,
+) -> CorrelationResult:
+    """Cultural monuments (CulturalMonumentsAnalyzer.cs:106-190): ladder —
+    matching ref:LV:vkpai => Strong; fuzzy name match => Good; any
+    heritage tag => Regular; else Unmatched. Heritage-tagged elements may
+    stand alone (lone allowance) and upgrade on Strong."""
+    slim = _slim_elements(
+        elements.filter(has_key("tags", "heritage") | has_key("tags", "ref:LV:vkpai") | has_key("tags", "name")),
+        ["name", "heritage", "ref:LV:vkpai"],
+    )
+
+    def strength(df: DataFrame):
+        ref_match = (
+            F.col("elem_ref_LV_vkpai").isNotNull()
+            & F.col("item_ref").isNotNull()
+            & (F.col("elem_ref_LV_vkpai") == F.col("item_ref").cast("string"))
+        )
+        name_match = fuzzy_name_match(F.col("elem_name"), F.col("item_name"))
+        has_heritage = F.col("elem_heritage").isNotNull()
+        return (
+            F.when(ref_match, F.lit(STRONG))
+            .when(F.coalesce(name_match, F.lit(False)), F.lit(GOOD))
+            .when(has_heritage, F.lit(REGULAR))
+            .otherwise(F.lit(UNMATCHED))
+        )
+
+    params = CorrelatorParams(
+        match_distance=30.0,
+        unmatch_distance=300.0,
+        strong_extra_distance=1200.0,
+        strength_expr=strength,
+        lone_allowance_expr=lambda df: F.col("elem_heritage").isNotNull(),
+        lone_strong_match_strength=STRONG,
+        lone_upgrade_radius_m=5000.0,
+    )
+    return correlate(spark, slim, items, params)
+
+
+def street_name_groups(elements: DataFrame) -> DataFrame:
+    """StreetNameAnalyzer's grouping (A1): elements grouped by addr:street
+    value with counts and member ids, ordered by size."""
+    street = get_value("tags", "addr:street")
+    return (
+        elements.filter(street.isNotNull())
+        .groupBy(street.alias("street"))
+        .agg(
+            F.count(F.lit(1)).alias("n_elements"),
+            F.sort_array(F.collect_list("elem_id")).alias("members"),
+        )
+        .orderBy(F.col("n_elements").desc(), F.col("street"))
+    )
+
+
+def validator_pass(
+    matched_with_tags: DataFrame,
+    expected: dict[str, str],
+) -> DataFrame:
+    """Validator (Osmalyzer/Validator/Validator.cs:17-140) as a projection:
+    for each matched pair, check expected tag values; emit issue rows
+    (rule, elem_id, item_id, found, expected) for mismatches."""
+    issues = []
+    for key, want in expected.items():
+        col = get_value("tags", key)
+        issues.append(
+            matched_with_tags.filter(F.coalesce(col != want, F.lit(True)))
+            .select(
+                F.lit(f"tag:{key}").alias("rule"),
+                "elem_id",
+                "item_id",
+                col.alias("found"),
+                F.lit(want).alias("expected"),
+            )
+        )
+    out = issues[0]
+    for df in issues[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def spawner_pass(unmatched_items: DataFrame, base_tags: dict[str, str]) -> DataFrame:
+    """Spawner (Osmalyzer/Spawner/Spawner.cs:17-60): suggested create-node
+    rows for unmatched items."""
+    tags = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in base_tags]),
+        F.array(*[F.lit(v) for v in base_tags.values()]),
+    )
+    return unmatched_items.select(
+        F.lit("create_node").alias("action"),
+        "item_id",
+        F.col("item_lat").alias("lat"),
+        F.col("item_lon").alias("lon"),
+        tags.alias("suggested_tags"),
+    )

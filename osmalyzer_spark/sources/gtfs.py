@@ -1,0 +1,187 @@
+"""GTFS relational source (S4/S5) + public-transport operators (J7/J8/A8).
+
+Source semantics per the reference's GTFS loaders
+(Osmalyzer/Data/GTFS/GTFSNetwork.cs:22-35, GTFSStops.cs:14-72,
+GTFSPoints.cs:14-54): quoted fields, duplicate stop ids keep the first
+occurrence (TryAdd), rows with unparseable lat/lon dropped, degenerate
+1-stop trips ignored downstream. Spark's multiLine CSV reader replaces
+the hand-rolled parser (Osmalyzer/Data/CsvParser.cs:8-117).
+
+Operators:
+- route_variants (A8, PublicTransportAnalyzer.cs:465-483): trips grouped
+  by their exact ordered stop-id sequence, with trip counts.
+- stop_gap_pairs (J8, PublicTransportAnalyzer.cs:333-404): lag/lead over
+  the route stop sequence to pair an unmatched OSM stop with the GTFS
+  neighbor of its matched predecessor when within 70 m.
+- score_route_match (J7, PublicTransportAnalyzer.cs:532-669): bipartite
+  variant<->relation scoring — centroid distance prefilter (50 km), score
+  = sum of positional proximity of name-matched stops / max(stop counts),
+  acceptance > 0.4, iterative takeover via the shared deferred-acceptance
+  machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmalyzer_spark.geo.distance import haversine_m
+
+
+def read_gtfs_stops(spark: SparkSession, path: str) -> DataFrame:
+    """stops.txt -> (stop_id, name, lat, lon); first occurrence wins on
+    duplicate ids; bad coordinates dropped."""
+    raw = spark.read.csv(path, header=True, multiLine=True, quote='"', escape='"')
+    w = Window.partitionBy("stop_id").orderBy(F.monotonically_increasing_id())
+    return (
+        raw.select(
+            "stop_id",
+            F.col("stop_name").alias("name"),
+            F.col("stop_lat").cast("double").alias("lat"),
+            F.col("stop_lon").cast("double").alias("lon"),
+        )
+        .filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def read_gtfs_trips(spark: SparkSession, path: str) -> DataFrame:
+    raw = spark.read.csv(path, header=True, multiLine=True, quote='"', escape='"')
+    return raw.select("trip_id", "route_id", "service_id")
+
+
+def read_gtfs_stop_times(spark: SparkSession, path: str) -> DataFrame:
+    raw = spark.read.csv(path, header=True, multiLine=True, quote='"', escape='"')
+    return raw.select(
+        "trip_id",
+        F.col("arrival_time").alias("arrival"),
+        F.col("departure_time").alias("departure"),
+        "stop_id",
+        F.col("stop_sequence").cast("int").alias("stop_seq"),
+    ).filter(F.col("stop_seq").isNotNull())
+
+
+def route_variants(stop_times: DataFrame, min_stops: int = 2) -> DataFrame:
+    """Group trips by exact ordered stop sequence (A8). Output:
+    (stop_seq_key, stops array, n_trips, example_trip). Degenerate
+    (<min_stops) trips dropped like the reference."""
+    per_trip = stop_times.groupBy("trip_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("stop_seq", "stop_id"))),
+            lambda s: s["stop_id"],
+        ).alias("stops")
+    )
+    per_trip = per_trip.filter(F.size("stops") >= min_stops)
+    return (
+        per_trip.groupBy(F.col("stops"))
+        .agg(F.count(F.lit(1)).alias("n_trips"), F.min("trip_id").alias("example_trip"))
+        .withColumn("stop_seq_key", F.md5(F.concat_ws("|", F.col("stops"))))
+        .select("stop_seq_key", "stops", "n_trips", "example_trip")
+    )
+
+
+def stop_gap_pairs(
+    route_stops: DataFrame,
+    max_gap_m: float = 70.0,
+) -> DataFrame:
+    """J8 stop-sequence gap repair. Input: one row per (route_id, seq) with
+    columns (route_id, seq, osm_stop_id, osm_lat, osm_lon, gtfs_stop_id,
+    gtfs_lat, gtfs_lon, matched:boolean). For each unmatched OSM stop,
+    take the GTFS successor of the previous matched stop along the route
+    and pair them when within max_gap_m."""
+    w = Window.partitionBy("route_id").orderBy("seq")
+    prev_matched_gtfs = F.last(
+        F.when(F.col("matched"), F.struct("gtfs_stop_id", "gtfs_lat", "gtfs_lon", "seq")),
+        ignorenulls=True,
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    cand = (
+        route_stops.withColumn("prev", prev_matched_gtfs)  # before the filter!
+        .filter(~F.col("matched"))
+        .filter(F.col("prev").isNotNull())
+    )
+    # the GTFS twin that FOLLOWS the previous matched stop
+    nxt = route_stops.select(
+        F.col("route_id").alias("r2"),
+        F.col("seq").alias("seq2"),
+        F.col("gtfs_stop_id").alias("next_gtfs_id"),
+        F.col("gtfs_lat").alias("next_gtfs_lat"),
+        F.col("gtfs_lon").alias("next_gtfs_lon"),
+    )
+    paired = cand.join(
+        nxt,
+        (F.col("route_id") == F.col("r2")) & (F.col("prev.seq") + 1 == F.col("seq2")),
+    )
+    dist = haversine_m("osm_lat", "osm_lon", "next_gtfs_lat", "next_gtfs_lon")
+    return (
+        paired.withColumn("gap_dist_m", dist)
+        .filter(F.col("gap_dist_m") <= max_gap_m)
+        .select(
+            "route_id",
+            "seq",
+            "osm_stop_id",
+            F.col("next_gtfs_id").alias("paired_gtfs_stop_id"),
+            F.round("gap_dist_m", 2).alias("gap_dist_m"),
+        )
+    )
+
+
+def score_route_matches(
+    spark: SparkSession,
+    variants: DataFrame,
+    osm_routes: DataFrame,
+    accept_score: float = 0.4,
+    centroid_prefilter_m: float = 50_000.0,
+) -> DataFrame:
+    """J7 route-variant <-> OSM-relation assignment.
+
+    variants: (variant_id, centroid_lat, centroid_lon, stops
+    array<struct<name string, lat double, lon double>>).
+    osm_routes: (route_rel_id, centroid_lat2, centroid_lon2, stops2 same).
+    Score = sum over variant stops of positional proximity when a
+    name-equal OSM stop exists nearby / max(len(stops), len(stops2)); the
+    takeover loop (a better variant steals a relation) is the same
+    deferred-acceptance skeleton as the correlator.
+    """
+    from osmalyzer_spark.operators.correlator import deferred_acceptance
+
+    pairs = variants.crossJoin(osm_routes).filter(
+        haversine_m("centroid_lat", "centroid_lon", "centroid_lat2", "centroid_lon2")
+        <= centroid_prefilter_m
+    )
+    # positional score, all native: for each variant stop i, the best
+    # name-matched osm stop j contributes 1 - |i - j| / n
+    n = F.greatest(F.size("stops"), F.size("stops2"))
+    i_idx = F.sequence(F.lit(0), F.size("stops") - 1)
+    per_stop = F.transform(
+        i_idx,
+        lambda i: F.coalesce(
+            F.array_max(
+                F.zip_with(
+                    F.col("stops2"),
+                    F.sequence(F.lit(0), F.size("stops2") - 1),
+                    lambda s2, j: F.when(
+                        s2["name"] == F.element_at(F.col("stops"), i + 1)["name"],
+                        F.lit(1.0) - F.abs(i - j) / n,
+                    ).otherwise(F.lit(None).cast("double")),
+                )
+            ),
+            F.lit(0.0),
+        ),
+    )
+    score = F.aggregate(per_stop, F.lit(0.0), lambda a, x: a + x) / n
+    scored = (
+        pairs.withColumn("score", score)
+        .filter(F.col("score") > accept_score)
+        .select("variant_id", "route_rel_id", "score")
+    )
+    holds, _ = deferred_acceptance(
+        spark,
+        scored.withColumn("neg_score", -F.col("score")),
+        proposer="variant_id",
+        acceptor="route_rel_id",
+        proposer_order=[F.col("neg_score").asc(), F.col("route_rel_id").asc()],
+        acceptor_order=[F.col("neg_score").asc(), F.col("variant_id").asc()],
+    )
+    return holds.select("variant_id", "route_rel_id", F.round("score", 4).alias("score"))

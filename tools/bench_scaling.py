@@ -1,0 +1,153 @@
+"""Two-parallelism scaling evidence for the north rule.
+
+The acceptance bar is >=0.8 throughput scaling efficiency between N and 4N
+executors. No real cluster exists in this sandbox, so we evidence it the
+way BASELINE.md specifies: the SAME deterministic job at local[N] and
+local[4N] (fresh JVM each), identical input, throughput at both.
+
+The job is the engine's core path: deterministic images table (payload
+bytes included) -> payload-stripped element/item views -> cell-bucketed
+radius join (haversine-filtered candidate pairs) + correlator assignment.
+Efficiency = (T_N / T_4N) / 4.
+
+Run:  python tools/bench_scaling.py [n_images] [radius_m]
+Child:  (internal) python tools/bench_scaling.py --child <cpus> <n> <r>
+Writes results to stdout as JSON; tools caller appends to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DEFAULT = 1_000_000
+R_DEFAULT = 500.0
+TABLE_PATH = "/tmp/osmalyzer_scaling_images"
+
+
+def ensure_table(n: int) -> str:
+    """Write the images table once (shared input for both children)."""
+    path = f"{TABLE_PATH}_{n}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from osmalyzer_spark.datagen import generate_images
+    from osmalyzer_spark.session import get_spark
+
+    spark = get_spark("scaling-datagen", parallelism=32, shuffle_partitions=32)
+    generate_images(spark, n, seed=42, partitions=64).write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def child(cpus: int, n: int, radius: float) -> None:
+    from pyspark.sql import functions as F
+
+    from osmalyzer_spark.datagen import data_items_view, osm_elements_view
+    from osmalyzer_spark.operators.correlator import CorrelatorParams, correlate
+    from osmalyzer_spark.operators.knn import radius_join
+    from osmalyzer_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
+    images = spark.read.parquet(f"{TABLE_PATH}_{n}")
+    # measured work includes the scan + payload-stripping projection
+    elems = osm_elements_view(images).select("elem_id", "elem_lat", "elem_lon")
+    items = data_items_view(images).select("item_id", "item_lat", "item_lon")
+    n_elems = elems.count()
+    n_items = items.count()
+
+    # measured section 1: candidate-pair spatial join.
+    # run twice, report the steady-state (second) time — the first run pays
+    # one-off codegen/classloading that a long-lived cluster job would not.
+    def run_join() -> tuple[int, float]:
+        t0 = time.time()
+        pairs = radius_join(
+            items, elems, radius,
+            probe_coords=("item_lat", "item_lon"),
+            build_coords=("elem_lat", "elem_lon"),
+        )
+        return pairs.count(), time.time() - t0
+
+    n_pairs, _ = run_join()
+    n_pairs2, t_join = run_join()
+    assert n_pairs == n_pairs2
+
+    # measured section 2: full correlator assignment (includes the serial
+    # driver-round structure of deferred acceptance — reported separately)
+    t0 = time.time()
+    res = correlate(
+        spark, elems, items,
+        CorrelatorParams(match_distance=15, unmatch_distance=75, strong_extra_distance=700),
+    )
+    n_matched = res.matched.count()
+    t_corr = time.time() - t0
+
+    print(
+        "CHILD_RESULT "
+        + json.dumps(
+            {
+                "cpus": cpus,
+                "n_elems": n_elems,
+                "n_items": n_items,
+                "n_pairs": n_pairs,
+                "n_matched": n_matched,
+                "t_join_s": round(t_join, 3),
+                "t_correlator_s": round(t_corr, 3),
+                "join_pairs_per_s": round(n_pairs / t_join, 1),
+                "join_elem_rows_per_s": round(n_elems / t_join, 1),
+            }
+        )
+    )
+
+
+def run_child(cpus: int, n: int, radius: float) -> dict:
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", str(cpus), str(n), str(radius)],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=1800,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CHILD_RESULT "):
+            return json.loads(line[len("CHILD_RESULT "):])
+    raise RuntimeError(f"child failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]), float(sys.argv[4]))
+        return
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
+    radius = float(sys.argv[2]) if len(sys.argv) > 2 else R_DEFAULT
+    ensure_table(n)
+    lo, hi = 8, 32
+    r_lo = run_child(lo, n, radius)
+    r_hi = run_child(hi, n, radius)
+    assert r_lo["n_pairs"] == r_hi["n_pairs"], "outputs differ between parallelism levels!"
+    assert r_lo["n_matched"] == r_hi["n_matched"], "correlator outputs differ!"
+    eff_join = (r_lo["t_join_s"] / r_hi["t_join_s"]) / (hi / lo)
+    eff_corr = (r_lo["t_correlator_s"] / r_hi["t_correlator_s"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "n_images": n,
+                "radius_m": radius,
+                "low": r_lo,
+                "high": r_hi,
+                "scaling_efficiency_join": round(eff_join, 3),
+                "scaling_efficiency_correlator": round(eff_corr, 3),
+                "identical_outputs": True,
+            },
+            indent=2,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
