@@ -191,3 +191,122 @@ def contains_expr(polygon: Polygon, lat, lon) -> Column:
         & (lon <= F.lit(lon_max))
     )
     return F.when(bbox, pip_bool_udf(polygon)(lat, lon)).otherwise(F.lit(False))
+
+
+# --- polygon overlap coverage (A11) ---------------------------------------
+# Reference: OsmPolygon.GetOverlapCoveragePercent (OsmPolygon.cs:155-215):
+# sample points along each ring's perimeter (degree-length space, capped at
+# max_samples), count the fraction within epsilon (meters at 111139 m/deg)
+# of the other ring; the symmetric coverage is the min of both directions.
+# Douglas-Peucker simplification mirrors OsmMultiPolygon.cs:125-146.
+
+
+def _closed(ring: np.ndarray) -> np.ndarray:
+    ring = np.asarray(ring, dtype=np.float64)
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[0]])
+    return ring
+
+
+def _sample_along(ring: np.ndarray, step: float) -> np.ndarray:
+    """Points every `step` (degree units) along the closed ring polyline,
+    the LengthIndexedLine.ExtractPoint walk."""
+    ring = _closed(ring)
+    seg = np.diff(ring, axis=0)
+    seg_len = np.hypot(seg[:, 0], seg[:, 1])
+    cum = np.concatenate([[0.0], np.cumsum(seg_len)])
+    total = cum[-1]
+    ds = np.arange(0.0, total + step * 0.5, step)
+    ds = np.clip(ds, 0.0, total)
+    idx = np.clip(np.searchsorted(cum, ds, side="right") - 1, 0, len(seg_len) - 1)
+    t = np.where(seg_len[idx] > 0, (ds - cum[idx]) / np.where(seg_len[idx] == 0, 1.0, seg_len[idx]), 0.0)
+    return ring[idx] + seg[idx] * t[:, None]
+
+
+def _min_dist_to_ring(points: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Min Euclidean (degree-space) distance from each point to the closed
+    ring's segments — vectorized over points x segments."""
+    ring = _closed(ring)
+    a = ring[:-1]  # (m, 2)
+    d = ring[1:] - a  # (m, 2)
+    dd = (d * d).sum(axis=1)  # (m,)
+    # (n, m, 2) deltas
+    pa = points[:, None, :] - a[None, :, :]
+    t = np.where(dd > 0, (pa * d[None, :, :]).sum(axis=2) / np.where(dd == 0, 1.0, dd), 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    proj = a[None, :, :] + t[:, :, None] * d[None, :, :]
+    dist = np.hypot(points[:, None, 0] - proj[:, :, 0], points[:, None, 1] - proj[:, :, 1])
+    return dist.min(axis=1)
+
+
+def directed_coverage(
+    source: np.ndarray, target: np.ndarray, epsilon_m: float = 10.0, max_samples: int = 300
+) -> float:
+    """Fraction of points sampled along `source` within epsilon of
+    `target` (DirectedCoverage semantics incl. the step-size formula)."""
+    src = _closed(source)
+    seg = np.diff(src, axis=0)
+    length = float(np.hypot(seg[:, 0], seg[:, 1]).sum())
+    if length == 0.0:
+        return 0.0
+    eps_deg = epsilon_m / 111_139.0
+    n_steps = min(max_samples, max(10, int(length / eps_deg)))
+    step = length / n_steps
+    pts = _sample_along(source, step)
+    dist = _min_dist_to_ring(pts, target)
+    return float((dist <= eps_deg).mean())
+
+
+def overlap_coverage(
+    a: np.ndarray, b: np.ndarray, epsilon_m: float = 10.0, max_samples: int = 300
+) -> float:
+    """Symmetric boundary-overlap coverage in [0, 1]: min of the two
+    directed coverages (GetOverlapCoveragePercent)."""
+    return min(
+        directed_coverage(a, b, epsilon_m, max_samples),
+        directed_coverage(b, a, epsilon_m, max_samples),
+    )
+
+
+def simplify_ring(ring: np.ndarray, tolerance_deg: float) -> np.ndarray:
+    """Douglas-Peucker ring simplification (OsmMultiPolygon.cs:125-146
+    pre-compare step)."""
+    ring = np.asarray(ring, dtype=np.float64)
+
+    def dp(pts: np.ndarray) -> np.ndarray:
+        if len(pts) < 3:
+            return pts
+        a, b = pts[0], pts[-1]
+        d = b - a
+        dd = float((d * d).sum())
+        if dd == 0:
+            dist = np.hypot(*(pts - a).T)
+        else:
+            t = np.clip(((pts - a) @ d) / dd, 0.0, 1.0)
+            proj = a + t[:, None] * d
+            dist = np.hypot(pts[:, 0] - proj[:, 0], pts[:, 1] - proj[:, 1])
+        i = int(dist.argmax())
+        if dist[i] > tolerance_deg:
+            left = dp(pts[: i + 1])
+            right = dp(pts[i:])
+            return np.vstack([left[:-1], right])
+        return np.vstack([pts[0], pts[-1]])
+
+    return dp(ring)
+
+
+def overlap_coverage_udf(epsilon_m: float = 10.0, max_samples: int = 300):
+    """pandas UDF over (a_wkb binary, b_wkb binary) -> coverage double,
+    for comparing polygon pairs at DataFrame scale (pairs are pre-bucketed
+    by cell like any other spatial join)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def _cov(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
+        out = np.empty(len(a_wkb))
+        for i in range(len(a_wkb)):
+            ra = wkb_to_ring(bytes(a_wkb.iloc[i]))
+            rb = wkb_to_ring(bytes(b_wkb.iloc[i]))
+            out[i] = overlap_coverage(ra, rb, epsilon_m, max_samples)
+        return pd.Series(out)
+
+    return _cov
