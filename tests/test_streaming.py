@@ -1,0 +1,48 @@
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def dirs():
+    base = tempfile.mkdtemp(prefix="stream_test_")
+    yield f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_ingest_and_resume(spark, dirs):
+    from osmalyzer_spark.datagen import generate_images
+    from osmalyzer_spark.streaming.ingest import start_ingest
+
+    in_dir, out_dir, ckpt = dirs
+    generate_images(spark, 200, seed=42).write.mode("append").parquet(in_dir)
+
+    q = start_ingest(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 200
+    assert {"cell_id", "tile_id", "lat", "lon"} <= set(out.columns)
+    # payload survived the stream
+    assert out.filter(F.col("bytes").isNull()).count() == 0
+
+    # second batch of files: only the new rows are processed (exactly-once
+    # file tracking via the stream checkpoint)
+    generate_images(spark, 100, seed=43).write.mode("append").parquet(in_dir)
+    q2 = start_ingest(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 300
+
+
+def test_arrival_stats_watermark(spark):
+    from osmalyzer_spark.streaming.ingest import arrival_stats_stream
+
+    # batch-mode check of the streaming aggregation shape
+    df = spark.createDataFrame(
+        [("img1", "2024-01-01 00:00:10"), ("img2", "2024-01-01 00:00:50"), ("img3", "2024-01-01 00:01:10")],
+        "image_id string, ts string",
+    ).select("image_id", F.to_timestamp("ts").alias("event_ts"))
+    got = arrival_stats_stream(df).collect()
+    assert sum(r["n_rows"] for r in got) == 3
+    assert len(got) == 2  # two 1-minute windows
