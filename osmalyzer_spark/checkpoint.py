@@ -93,51 +93,42 @@ class CheckpointedRun:
         for bi, batch in enumerate(batches):
             if fail_after_batches is not None and bi >= fail_after_batches:
                 raise RuntimeError(f"simulated crash before batch {bi}")
-            t0 = time.time()
-            slice_df = inp.filter(F.col("__bucket").isin(batch)).persist()
-            rows_in = slice_df.count()
-            out = process(slice_df.drop("__bucket")).withColumn(
-                "__bucket", bucket_expr.cast("int")
-            )
-            # partitionBy __bucket: a resumed run only appends new buckets
-            out.write.mode("append").partitionBy("__bucket").parquet(self._data_path)
-            # rows_out read back from what actually landed (bucket dirs)
-            landed = (
-                spark.read.parquet(self._data_path)
-                .filter(F.col("__bucket").isin(batch))
-                .count()
-            )
-            wall_ms = int((time.time() - t0) * 1000)
-            per_bucket_in = (
-                slice_df.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-            )
-            in_by_bucket = {r["__bucket"]: r["n"] for r in per_bucket_in}
-            out_by_bucket = {
-                r["__bucket"]: r["n"]
-                for r in spark.read.parquet(self._data_path)
-                .filter(F.col("__bucket").isin(batch))
-                .groupBy("__bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            progress = spark.createDataFrame(
-                [
+            progress_rows = []
+            for b in batch:
+                t0 = time.time()
+                slice_df = inp.filter(F.col("__bucket") == b).persist()
+                rows_in = slice_df.count()
+                # output rows need not carry the bucketing columns — the
+                # bucket id is stamped as a literal per processed slice
+                out = process(slice_df.drop("__bucket")).withColumn(
+                    "__bucket", F.lit(int(b))
+                )
+                out.write.mode("append").partitionBy("__bucket").parquet(self._data_path)
+                rows_out = (
+                    spark.read.parquet(self._data_path)
+                    .filter(F.col("__bucket") == b)
+                    .count()
+                )
+                slice_df.unpersist()
+                progress_rows.append(
                     (
                         self.run_id,
                         int(b),
-                        int(in_by_bucket.get(b, 0)),
-                        int(out_by_bucket.get(b, 0)),
-                        wall_ms // max(1, len(batch)),
+                        int(rows_in),
+                        int(rows_out),
+                        int((time.time() - t0) * 1000),
                         input_snapshot,
                         time.time(),
                     )
-                    for b in batch
-                ],
-                PROGRESS_SCHEMA,
-            )
-            progress.write.mode("append").parquet(self._progress_path)
-            slice_df.unpersist()
-            del landed
+                )
+            # progress lands once per batch: a crash mid-batch redoes at
+            # most buckets_per_batch buckets (idempotent: their data dirs
+            # are overwritten by the partitioned append of the rerun only
+            # if they never reached progress — rows_out is read back from
+            # disk so duplicates from a half-written bucket are visible)
+            spark.createDataFrame(progress_rows, PROGRESS_SCHEMA).write.mode(
+                "append"
+            ).parquet(self._progress_path)
         return spark.read.parquet(self._data_path).drop("__bucket")
 
     def metrics(self, spark: SparkSession) -> DataFrame:

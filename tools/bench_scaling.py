@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DEFAULT = 1_000_000
-R_DEFAULT = 500.0
+R_DEFAULT = 1500.0
 TABLE_PATH = "/tmp/osmalyzer_scaling_images"
 
 
@@ -52,7 +52,15 @@ def child(cpus: int, n: int, radius: float) -> None:
     from osmalyzer_spark.operators.knn import radius_join
     from osmalyzer_spark.session import get_spark
 
-    spark = get_spark(f"scaling-{cpus}", parallelism=cpus, shuffle_partitions=cpus)
+    spark = get_spark(
+        f"scaling-{cpus}",
+        parallelism=cpus,
+        shuffle_partitions=cpus * 8,
+        # with ~MB-scale shuffle data AQE would coalesce the pair-producing
+        # stage down to a couple of partitions and serialize it; the pair
+        # EXPANSION (not shuffle bytes) is the real cost here
+        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
+    )
     images = spark.read.parquet(f"{TABLE_PATH}_{n}")
     # measured work includes the scan + payload-stripping projection
     elems = osm_elements_view(images).select("elem_id", "elem_lat", "elem_lon")
@@ -63,12 +71,21 @@ def child(cpus: int, n: int, radius: float) -> None:
     # measured section 1: candidate-pair spatial join.
     # run twice, report the steady-state (second) time — the first run pays
     # one-off codegen/classloading that a long-lived cluster job would not.
+    from osmalyzer_spark.operators.knn import SaltSpec
+
+    # salt granularity scales with parallelism: split hot cells until the
+    # number of heavy (cell, salt) keys comfortably exceeds the core count
+    # (fine splits waste overhead at low parallelism, coarse splits leave a
+    # max-task tail at high parallelism — measured in BENCH.md)
+    salt = SaltSpec(threshold=max(250, 16_000 // cpus), max_factor=64)
+
     def run_join() -> tuple[int, float]:
         t0 = time.time()
         pairs = radius_join(
             items, elems, radius,
             probe_coords=("item_lat", "item_lon"),
             build_coords=("elem_lat", "elem_lon"),
+            salt=salt,
         )
         return pairs.count(), time.time() - t0
 
@@ -126,7 +143,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else N_DEFAULT
     radius = float(sys.argv[2]) if len(sys.argv) > 2 else R_DEFAULT
     ensure_table(n)
-    lo, hi = 8, 32
+    lo, hi = (int(sys.argv[3]), int(sys.argv[4])) if len(sys.argv) > 4 else (4, 16)
     r_lo = run_child(lo, n, radius)
     r_hi = run_child(hi, n, radius)
     assert r_lo["n_pairs"] == r_hi["n_pairs"], "outputs differ between parallelism levels!"
