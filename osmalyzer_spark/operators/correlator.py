@@ -190,8 +190,6 @@ def deferred_acceptance(
         props = props.withColumn("__rn", F.row_number().over(w1)).filter(
             F.col("__rn") == 1
         ).drop("__rn")
-        if props.isEmpty():
-            break
         contenders = holds.unionByName(props)
         w_acc = Window.partitionBy(acceptor).orderBy(*acceptor_order)
         contenders = contenders.withColumn("__win", F.row_number().over(w_acc))
@@ -201,10 +199,16 @@ def deferred_acceptance(
             .localCheckpoint(eager=True)
         )
         losers = contenders.filter(F.col("__win") > 1).select(proposer, acceptor)
+        holds = new_holds
+        # no conflicts => every proposal was accepted => every proposer
+        # with remaining candidates is now held: stable, stop. (A proposer
+        # that won unconstested never re-proposes; one that lost has its
+        # pair pruned below and re-proposes next round.)
+        if losers.isEmpty():
+            break
         remaining = remaining.join(
             losers, [proposer, acceptor], "left_anti"
         ).localCheckpoint(eager=True)
-        holds = new_holds
     return holds.drop("__pref"), rounds
 
 

@@ -462,6 +462,60 @@ def q25_tile_region(spark, sf_dir):
     )
 
 
+def q26_sharp_angles(spark, sf_dir):
+    """W3 consecutive-segment angles: treat each user's event sequence as a
+    polyline over synthetic coords; flag interior angles < 60 deg."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(synth_lat_sql("event_id")).alias("lat"),
+        F.expr(synth_lon_sql("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = (
+        pts.withColumn("plat", F.lag("lat").over(w))
+        .withColumn("plon", F.lag("lon").over(w))
+        .withColumn("nlat", F.lead("lat").over(w))
+        .withColumn("nlon", F.lead("lon").over(w))
+        .filter(F.col("plat").isNotNull() & F.col("nlat").isNotNull())
+    )
+    from osmalyzer_spark.geo.distance import angle_between_segments_deg
+
+    angle = angle_between_segments_deg("plat", "plon", "lat", "lon", "nlat", "nlon")
+    return (
+        t.withColumn("angle_deg", F.round(angle, 3))
+        .filter(F.col("angle_deg") < 60.0)
+        .select("user_id", "event_id", "angle_deg")
+    )
+
+
+def q27_correlator(spark, sf_dir):
+    """J4 flagship: full correlator over synthetic geo views (suppliers as
+    items, customers as elements). Iterative mutual-best assignment is not
+    SQL-expressible — rows-only driver check; semantics verified in pytest
+    against the sequential oracle (tests/test_correlator.py)."""
+    from osmalyzer_spark.operators.correlator import CorrelatorParams, correlate
+
+    elements = _geo_customers(spark, sf_dir).withColumn(
+        "elem_tag", (F.col("elem_id") % 7).cast("string")
+    )
+    items = _geo_suppliers(spark, sf_dir).withColumn(
+        "item_tag", (F.col("item_id") % 7).cast("string")
+    )
+    params = CorrelatorParams(
+        match_distance=150.0,
+        unmatch_distance=1500.0,
+        strong_extra_distance=3000.0,
+        strength_expr=lambda df: F.when(
+            F.col("item_tag") == F.col("elem_tag"), F.lit(3)
+        ).otherwise(F.lit(1)),
+        lone_allowance_expr=lambda df: F.col("elem_id") % 11 == 0,
+    )
+    res = correlate(spark, elements, items, params)
+    return res.correlations.withColumn("distance", F.round("distance", 3))
+
+
 def q20_route_variants(spark, sf_dir):
     """A8 route-variant extraction: group identical ordered event-type
     sequences (events as GTFS stop_times analog)."""
@@ -667,6 +721,30 @@ _ORACLES: dict[str, str] = {
         )
         SELECT type_seq, count(*) AS n_users FROM seqs GROUP BY type_seq
     """,
+    "q26_sharp_angles": f"""
+        WITH pts AS (
+          SELECT user_id, event_id,
+                 {synth_lat_sql("event_id")} AS lat,
+                 {synth_lon_sql("event_id")} AS lon
+          FROM events
+        ), t AS (
+          SELECT user_id, event_id, lat, lon,
+                 lag(lat) OVER w AS plat, lag(lon) OVER w AS plon,
+                 lead(lat) OVER w AS nlat, lead(lon) OVER w AS nlon
+          FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        ), ang AS (
+          SELECT user_id, event_id,
+                 degrees(atan2(
+                   abs(((plon - lon) * cos(radians(lat))) * (nlat - lat)
+                       - (plat - lat) * ((nlon - lon) * cos(radians(lat)))),
+                   ((plon - lon) * cos(radians(lat))) * ((nlon - lon) * cos(radians(lat)))
+                       + (plat - lat) * (nlat - lat)
+                 )) AS angle
+          FROM t WHERE plat IS NOT NULL AND nlat IS NOT NULL
+        )
+        SELECT user_id, event_id, round(angle, 3) AS angle_deg
+        FROM ang WHERE round(angle, 3) < 60.0
+    """,
     "q25_tile_region": f"""
         WITH c AS ({_GEO_CUST_SQL})
         SELECT CAST(floor((elem_lon + 180.0) / 360.0 * 4096) AS BIGINT) AS tile_x,
@@ -705,6 +783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q23_embedding_near_dup": q23_embedding_near_dup,
         "q24_cosine_lsh": q24_cosine_lsh,
         "q25_tile_region": q25_tile_region,
+        "q26_sharp_angles": q26_sharp_angles,
+        "q27_correlator": q27_correlator,
     }
 
 
