@@ -93,16 +93,24 @@ class CheckpointedRun:
         for bi, batch in enumerate(batches):
             if fail_after_batches is not None and bi >= fail_after_batches:
                 raise RuntimeError(f"simulated crash before batch {bi}")
+            import inspect
+
+            wants_bucket = "bucket" in inspect.signature(process).parameters
             progress_rows = []
             for b in batch:
                 t0 = time.time()
                 slice_df = inp.filter(F.col("__bucket") == b).persist()
                 rows_in = slice_df.count()
                 # output rows need not carry the bucketing columns — the
-                # bucket id is stamped as a literal per processed slice
-                out = process(slice_df.drop("__bucket")).withColumn(
-                    "__bucket", F.lit(int(b))
+                # bucket id is stamped as a literal per processed slice.
+                # `process(df, bucket=b)` lets the caller co-bucket side
+                # inputs (e.g. the correlator's item table).
+                produced = (
+                    process(slice_df.drop("__bucket"), bucket=int(b))
+                    if wants_bucket
+                    else process(slice_df.drop("__bucket"))
                 )
+                out = produced.withColumn("__bucket", F.lit(int(b)))
                 out.write.mode("append").partitionBy("__bucket").parquet(self._data_path)
                 rows_out = (
                     spark.read.parquet(self._data_path)

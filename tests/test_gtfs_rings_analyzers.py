@@ -166,3 +166,21 @@ def test_analyzers_on_synthetic_views(spark):
         {"shop": "supermarket"},
     )
     assert sugg.columns == ["action", "item_id", "lat", "lon", "suggested_tags"]
+
+
+def test_validator_pass(spark):
+    from osmalyzer_spark.plans.analyzers import validator_pass
+
+    matched = spark.createDataFrame(
+        [
+            (1, "a", {"shop": "supermarket", "name": "Rimi"}),
+            (2, "b", {"shop": "convenience", "name": "Rimi"}),
+            (3, "c", {"name": "Rimi"}),  # missing shop tag entirely
+        ],
+        "elem_id long, item_id string, tags map<string,string>",
+    )
+    issues = validator_pass(matched, {"shop": "supermarket"}).collect()
+    got = {(r["elem_id"], r["rule"], r["found"]) for r in issues}
+    assert (2, "tag:shop", "convenience") in got
+    assert (3, "tag:shop", None) in got
+    assert all(r["elem_id"] != 1 for r in issues)

@@ -124,3 +124,37 @@ def test_oracle_equivalence_random():
 
     want = np.array([one(a, b) for a, b in zip(lats, lons)])
     assert np.array_equal(got, want)
+
+
+def test_admin_polygons_fixture_roundtrip(spark):
+    """FIXTURES §4: WKB table round-trip + the mandated edge cases —
+    point in a hole, point on a ring edge (asymmetric convention),
+    fuzzy 30%/80% member straddle."""
+    from osmalyzer_spark.datagen.polygons import admin_polygons_table, load_polygons
+    from osmalyzer_spark.operators.osm import fuzzy_relation_containment
+
+    table = admin_polygons_table(spark)
+    assert table.count() == 4
+    polys = {p.polygon_id: p for p in load_polygons(table)}
+    assert polys["hole_case"].inners and polys["multi_outer"].outers[1] is not None
+
+    hole = polys["hole_case"]
+    assert hole.contains(np.array([56.5]), np.array([25.5]))[0] == False  # in hole
+    assert hole.contains(np.array([56.2]), np.array([25.2]))[0] == True
+    # point exactly on the lon edge of the riga box: the <\/>= asymmetry
+    # means exactly one vertical edge counts as inside
+    riga = polys["riga"]
+    on_w = riga.contains(np.array([56.95]), np.array([23.9]))[0]
+    on_e = riga.contains(np.array([56.95]), np.array([24.4]))[0]
+    assert bool(on_w) != bool(on_e)
+
+    # relation members straddling latvia at ~30% and ~80%
+    rows = []
+    for i in range(10):
+        rows.append((30, 56.9 if i < 3 else 59.5, 24.1))   # 30% inside
+        rows.append((80, 56.9 if i < 8 else 59.5, 24.1))   # 80% inside
+    df = spark.createDataFrame(rows, "relation_id long, lat double, lon double")
+    got = {r["relation_id"]: r for r in fuzzy_relation_containment(df, polys["latvia"]).collect()}
+    assert not got[30]["loose_inside"] or got[30]["containment"] == pytest.approx(0.3)
+    assert got[80]["containment"] == pytest.approx(0.8)
+    assert got[80]["loose_inside"] and not got[80]["strict_inside"]
