@@ -174,22 +174,31 @@ def deferred_acceptance(
     table; lineage is truncated per round with localCheckpoint.
     """
     w_pref = Window.partitionBy(proposer).orderBy(*proposer_order)
-    remaining = cand.withColumn(
-        "__pref", F.row_number().over(w_pref)
-    ).localCheckpoint(eager=True)
-    holds = spark.createDataFrame([], remaining.schema)
+    cand = cand.withColumn("__pref", F.row_number().over(w_pref)).localCheckpoint(
+        eager=True
+    )
+    holds = spark.createDataFrame([], cand.schema)
+    # the big candidate table is immutable after round 0; per-round state
+    # is only the SMALL tables — unassigned proposers and rejected pairs —
+    # so later rounds (displacement-chain tails) stay cheap no matter how
+    # large the candidate set is
+    unassigned = None  # round 1: every proposer proposes — no join needed
+    rejected = spark.createDataFrame([], cand.select(proposer, acceptor).schema)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
-        unassigned = (
-            remaining.select(proposer)
-            .distinct()
-            .join(holds.select(proposer), proposer, "left_anti")
-        )
-        props = remaining.join(unassigned, proposer, "left_semi")
+        if unassigned is None:
+            props = cand
+        else:
+            # after round 1 the loser/displaced sets are small: broadcast
+            props = cand.join(F.broadcast(unassigned), proposer, "left_semi").join(
+                F.broadcast(rejected), [proposer, acceptor], "left_anti"
+            )
         w1 = Window.partitionBy(proposer).orderBy("__pref")
-        props = props.withColumn("__rn", F.row_number().over(w1)).filter(
-            F.col("__rn") == 1
-        ).drop("__rn")
+        props = (
+            props.withColumn("__rn", F.row_number().over(w1))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         contenders = holds.unionByName(props)
         w_acc = Window.partitionBy(acceptor).orderBy(*acceptor_order)
         contenders = contenders.withColumn("__win", F.row_number().over(w_acc))
@@ -198,17 +207,27 @@ def deferred_acceptance(
             .drop("__win")
             .localCheckpoint(eager=True)
         )
-        losers = contenders.filter(F.col("__win") > 1).select(proposer, acceptor)
+        losers = (
+            contenders.filter(F.col("__win") > 1)
+            .select(proposer, acceptor)
+            .localCheckpoint(eager=True)
+        )
+        # displaced = previously held proposers that lost their acceptor
+        displaced = holds.select(proposer).join(
+            new_holds.select(proposer), proposer, "left_anti"
+        )
         holds = new_holds
         # no conflicts => every proposal was accepted => every proposer
-        # with remaining candidates is now held: stable, stop. (A proposer
-        # that won unconstested never re-proposes; one that lost has its
-        # pair pruned below and re-proposes next round.)
+        # with remaining candidates is now held: stable, stop.
         if losers.isEmpty():
             break
-        remaining = remaining.join(
-            losers, [proposer, acceptor], "left_anti"
-        ).localCheckpoint(eager=True)
+        rejected = rejected.unionByName(losers).localCheckpoint(eager=True)
+        unassigned = (
+            losers.select(proposer)
+            .union(displaced)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
     return holds.drop("__pref"), rounds
 
 
