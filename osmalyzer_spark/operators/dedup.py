@@ -70,21 +70,24 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash over k-word shingles.
 
-    The only Python step in the pipeline: one Arrow-vectorized pandas UDF;
-    the permutation family ((a*x + b) mod 2^61-1) is evaluated as a single
-    numpy broadcast per document.
+    The only Python step in the pipeline: one Arrow-vectorized pandas UDF.
+    The permutation family is multiply-shift over uint64 (h_i(x) =
+    ((a_i*x + b_i) mod 2^64) >> 1 with odd a_i) — a single wrapping numpy
+    broadcast per document, no bigint arithmetic; min-wise uniformity is
+    ample for jaccard estimation (verified against exact shingle jaccard
+    in tests).
     """
     rng = np.random.default_rng(seed)
-    A = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.uint64)
-    B = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.uint64)
+    A = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            sh = _shingle_hashes(t or "", shingle_k).astype(np.object_)  # python ints: no overflow
-            vals = (A.astype(np.object_)[:, None] * sh[None, :] + B.astype(np.object_)[:, None]) % _MERSENNE
-            out.append(np.asarray(vals.min(axis=1), dtype=np.int64))
+            sh = _shingle_hashes(t or "", shingle_k)
+            vals = (A[:, None] * sh[None, :] + B[:, None]) >> np.uint64(1)  # uint64 wrap
+            out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("sig"))
