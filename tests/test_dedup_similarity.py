@@ -185,3 +185,23 @@ def test_cosine_lsh_recall(spark, emb):
 def test_embedding_near_dup(spark, emb):
     pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb, threshold=0.99).collect()}
     assert {(0, 300), (1, 301), (2, 302)} <= pairs
+
+
+def test_clean_corpus_pipeline(spark, docs):
+    from osmalyzer_spark.plans.pipeline import clean_corpus
+
+    # add a junk doc that fails the quality gate
+    junk = spark.createDataFrame([(999, "x")], "doc_id long, text string")
+    corpus = docs.union(junk)
+    cleaned, report = clean_corpus(
+        spark, corpus, min_quality=0.6, neardup_threshold=0.5
+    )
+    assert report.n_input == 52
+    assert report.n_after_quality == 51          # junk dropped
+    assert report.n_after_exact == 50            # doc 200 == doc 20 dropped
+    # the 10 planted near-dups collapse (keep lower id of each pair)
+    assert report.n_after_neardup == 40
+    ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert 20 in ids and 200 not in ids
+    for i in range(10):
+        assert i in ids and (100 + i) not in ids
