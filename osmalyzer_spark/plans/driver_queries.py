@@ -516,6 +516,17 @@ def q27_correlator(spark, sf_dir):
     return res.correlations.withColumn("distance", F.round("distance", 3))
 
 
+def q28_clean_corpus(spark, sf_dir):
+    """Training-data composite: quality gate -> exact dedup -> MinHash
+    near-dup collapse, reported as per-stage row counts (deterministic;
+    rows-only driver check — hash-family ops inside)."""
+    from osmalyzer_spark.plans.pipeline import clean_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    _, report = clean_corpus(spark, docs, min_quality=0.4, neardup_threshold=0.6)
+    return spark.createDataFrame(report.as_rows(), "stage string, n_docs long")
+
+
 def q20_route_variants(spark, sf_dir):
     """A8 route-variant extraction: group identical ordered event-type
     sequences (events as GTFS stop_times analog)."""
@@ -785,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_tile_region": q25_tile_region,
         "q26_sharp_angles": q26_sharp_angles,
         "q27_correlator": q27_correlator,
+        "q28_clean_corpus": q28_clean_corpus,
     }
 
 
