@@ -3,21 +3,41 @@
 The north rule requires runs to be resumable from per-cell-partition
 checkpoints. Design (SURVEY §2.9): the input is hashed into `n_buckets`
 cell buckets (pmod over the spatial cell id, so a bucket is a stable
-geographic slice); the driver processes buckets in batches, appending
+geographic slice); output rows land in `<out>/data/` partitioned by
+`__bucket`, and one progress row per finished bucket lands in
+`<out>/_progress/`:
 
-  - output rows to `<out>/data/` partitioned by `__bucket`
-  - one progress row per finished bucket to `<out>/_progress/`:
-    (run_id, bucket, rows_in, rows_out, wall_ms, input_snapshot, batch_ts)
+  (run_id, bucket, rows_in, rows_out, wall_ms, input_snapshot, batch_ts)
 
 A resumed run (same run_id + output dir) reads the progress table and
-anti-joins done buckets — only unfinished slices recompute. The progress
-table doubles as the lineage record: which snapshot produced which bucket,
-with row counts in/out.
+skips done buckets — only unfinished slices recompute. The progress
+table doubles as the lineage record: which snapshot produced which
+bucket, with row counts in/out.
 
-This is deliberately a batch driver loop, not Structured Streaming — the
+Crash safety: every data write uses DYNAMIC partition overwrite
+(`spark.sql.sources.partitionOverwriteMode=dynamic` + mode("overwrite")),
+so a bucket whose data landed but whose progress row did not is simply
+REPLACED on the rerun — resume never duplicates rows, no matter where
+the crash fell (verified by the crash-between-data-and-progress test).
+
+Two execution paths:
+
+- `run_single_pass` (the 100 TB path): ONE job computes and writes every
+  pending bucket, shuffle-partitioned by `__bucket` — the input is
+  scanned once for the output write plus once (column-pruned) for the
+  rows_in lineage counts. Requires `process` to be bucket-distributive
+  (row-local, or grouping only within keys that never straddle buckets
+  — true for any per-cell operator, since buckets are unions of cells).
+- `run` (per-bucket loop): for operators that must see exactly one
+  bucket per call — e.g. the correlator co-bucketing a second input via
+  `process(df, bucket=b)`. This path filters the input once PER BUCKET;
+  at scale the input must be stored pre-partitioned by the bucket key so
+  each filter is a partition-pruned read, not a full scan.
+
+This is deliberately a batch driver, not Structured Streaming — the
 reference is a daily batch job (its dated-cache incrementality,
-Osmalyzer/Data/AnalysisData.cs:102-191, is file-level resume; this is the
-distributed analog at cell granularity).
+Osmalyzer/Data/AnalysisData.cs:102-191, is file-level resume; this is
+the distributed analog at cell granularity).
 """
 
 from __future__ import annotations
@@ -34,6 +54,11 @@ PROGRESS_SCHEMA = (
     "run_id string, bucket int, rows_in long, rows_out long, "
     "wall_ms long, input_snapshot string, batch_ts double"
 )
+
+
+def _dynamic_overwrite(spark: SparkSession):
+    """Ensure bucket-partition writes replace (not duplicate) reruns."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
 
 @dataclass
@@ -64,6 +89,95 @@ class CheckpointedRun:
         except Exception:  # noqa: BLE001 — no progress yet
             return set()
 
+    def _write_progress(self, spark: SparkSession, rows: list[tuple]) -> None:
+        spark.createDataFrame(rows, PROGRESS_SCHEMA).write.mode("append").parquet(
+            self._progress_path
+        )
+
+    def _result(self, spark: SparkSession) -> DataFrame:
+        # only buckets with a progress row are part of the result: a data
+        # partition without progress is a crashed remnant that will be
+        # overwritten on the next resume, not output
+        done = sorted(self.done_buckets(spark))
+        return (
+            spark.read.parquet(self._data_path)
+            .filter(F.col("__bucket").isin(done))
+            .drop("__bucket")
+        )
+
+    def run_single_pass(
+        self,
+        spark: SparkSession,
+        inp: DataFrame,
+        process: Callable[[DataFrame], DataFrame],
+        bucket_expr,
+        input_snapshot: str = "",
+        fail_before_progress: bool = False,
+    ) -> DataFrame:
+        """Compute and write EVERY pending bucket in one job.
+
+        `process` receives the pending slice of the input with its
+        `__bucket` column attached and must preserve that column on its
+        output rows (row-local operators keep it for free; grouped
+        operators include it in their grouping keys — cells never
+        straddle buckets, so this does not change semantics).
+
+        One full input scan for the output write + one column-pruned
+        scan for rows_in lineage. `fail_before_progress` is a test hook
+        simulating a crash in the data-written/progress-missing window.
+        """
+        _dynamic_overwrite(spark)
+        inp = inp.withColumn("__bucket", bucket_expr.cast("int"))
+        done = self.done_buckets(spark)
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        if pending:
+            t0 = time.time()
+            slice_df = inp.filter(F.col("__bucket").isin(pending))
+            produced = process(slice_df)
+            if "__bucket" not in produced.columns:
+                raise ValueError(
+                    "single-pass process() must preserve the __bucket column"
+                )
+            (
+                produced.repartition("__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(self._data_path)
+            )
+            if fail_before_progress:
+                raise RuntimeError("simulated crash after data, before progress")
+            # lineage counts: column-pruned aggregations, not full rescans
+            rows_in = {
+                r["__bucket"]: r["n"]
+                for r in slice_df.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            rows_out = {
+                r["__bucket"]: r["n"]
+                for r in spark.read.parquet(self._data_path)
+                .filter(F.col("__bucket").isin(pending))
+                .groupBy("__bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            wall = int((time.time() - t0) * 1000)
+            now = time.time()
+            self._write_progress(
+                spark,
+                [
+                    (
+                        self.run_id,
+                        int(b),
+                        int(rows_in.get(b, 0)),
+                        int(rows_out.get(b, 0)),
+                        wall,
+                        input_snapshot,
+                        now,
+                    )
+                    for b in pending
+                ],
+            )
+        return self._result(spark)
+
     def run(
         self,
         spark: SparkSession,
@@ -72,17 +186,28 @@ class CheckpointedRun:
         bucket_expr,
         input_snapshot: str = "",
         fail_after_batches: int | None = None,
+        fail_before_progress_batch: int | None = None,
     ) -> DataFrame:
-        """Process `inp` bucket-batch by bucket-batch, resumably.
+        """Process `inp` bucket by bucket in resumable batches.
 
         bucket_expr: Column -> int bucket in [0, n_buckets) — usually
         pmod(cell_id or xxhash64(id), n_buckets). `process` maps a bucket
-        slice to its output (must include no `__bucket` column; it is
-        attached here). `fail_after_batches` is a test hook simulating a
-        mid-run crash.
+        slice to its output (no `__bucket` column; it is attached here);
+        `process(df, bucket=b)` lets the caller co-bucket side inputs
+        (e.g. the correlator's item table). At scale, store the input
+        pre-partitioned by the bucket key so the per-bucket filter is a
+        pruned read — this loop scans the input once per bucket
+        otherwise (use run_single_pass for bucket-distributive work).
+
+        `fail_after_batches` simulates a crash before a batch;
+        `fail_before_progress_batch` simulates one after a batch's data
+        writes but before its progress rows — the dangerous window.
 
         Returns the complete output DataFrame (all buckets of run_id).
         """
+        import inspect
+
+        _dynamic_overwrite(spark)
         inp = inp.withColumn("__bucket", bucket_expr.cast("int"))
         done = self.done_buckets(spark)
         pending = [b for b in range(self.n_buckets) if b not in done]
@@ -90,28 +215,26 @@ class CheckpointedRun:
             pending[i : i + self.buckets_per_batch]
             for i in range(0, len(pending), self.buckets_per_batch)
         ]
+        wants_bucket = "bucket" in inspect.signature(process).parameters
         for bi, batch in enumerate(batches):
             if fail_after_batches is not None and bi >= fail_after_batches:
                 raise RuntimeError(f"simulated crash before batch {bi}")
-            import inspect
-
-            wants_bucket = "bucket" in inspect.signature(process).parameters
             progress_rows = []
             for b in batch:
                 t0 = time.time()
                 slice_df = inp.filter(F.col("__bucket") == b).persist()
                 rows_in = slice_df.count()
-                # output rows need not carry the bucketing columns — the
-                # bucket id is stamped as a literal per processed slice.
-                # `process(df, bucket=b)` lets the caller co-bucket side
-                # inputs (e.g. the correlator's item table).
                 produced = (
                     process(slice_df.drop("__bucket"), bucket=int(b))
                     if wants_bucket
                     else process(slice_df.drop("__bucket"))
                 )
                 out = produced.withColumn("__bucket", F.lit(int(b)))
-                out.write.mode("append").partitionBy("__bucket").parquet(self._data_path)
+                # dynamic overwrite: replaces ONLY partition __bucket=b,
+                # so redoing a bucket after a crash is idempotent
+                out.write.mode("overwrite").partitionBy("__bucket").parquet(
+                    self._data_path
+                )
                 rows_out = (
                     spark.read.parquet(self._data_path)
                     .filter(F.col("__bucket") == b)
@@ -129,15 +252,12 @@ class CheckpointedRun:
                         time.time(),
                     )
                 )
-            # progress lands once per batch: a crash mid-batch redoes at
-            # most buckets_per_batch buckets (idempotent: their data dirs
-            # are overwritten by the partitioned append of the rerun only
-            # if they never reached progress — rows_out is read back from
-            # disk so duplicates from a half-written bucket are visible)
-            spark.createDataFrame(progress_rows, PROGRESS_SCHEMA).write.mode(
-                "append"
-            ).parquet(self._progress_path)
-        return spark.read.parquet(self._data_path).drop("__bucket")
+            if fail_before_progress_batch is not None and bi >= fail_before_progress_batch:
+                raise RuntimeError(
+                    f"simulated crash after batch {bi} data, before progress"
+                )
+            self._write_progress(spark, progress_rows)
+        return self._result(spark)
 
     def metrics(self, spark: SparkSession) -> DataFrame:
         """The lineage/metrics table for this run."""

@@ -8,9 +8,12 @@ Four tiers, all shuffle-disciplined for 100 TB inputs:
   posexplode, equi-join on (band, key), signature-estimated jaccard filter.
   Candidate generation never compares all pairs — only bucket collisions.
 - simhash: 64-bit sign-of-weighted-token-hash fingerprint (pandas UDF),
-  hamming distance natively via bit_count(a ^ b); candidates from 16-bit
-  band buckets (any pair within hamming<=3 of a 64-bit hash shares at
-  least one of 4 bands — pigeonhole).
+  hamming distance natively via bit_count(a ^ b); candidates from band
+  buckets — completeness requires bands >= max_hamming + 1 (pigeonhole),
+  enforced.
+
+Token/shingle hashes are md5-lower-64 (== DuckDB md5_number_lower) so
+every fingerprint is replayable in plain SQL for oracle parity checks.
 - ngram_jaccard_exact: exact word-set jaccard via token inverted-index
   join with the size-band prefilter (J >= t implies max_size <= min_size/t),
   for small/verification workloads.
@@ -20,8 +23,6 @@ The reference's only dedup is an O(n^2) pairwise comparer
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -51,13 +52,26 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str, normalized: bool = Tr
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    toks = text.split()
+    """Distinct 64-bit shingle hashes (md5 lower 64, little-endian over
+    digest bytes 8..16 == DuckDB md5_number_lower) over k-word shingles.
+    Tokenization = split on single space, empties dropped, matching SQL
+    string_split(text, ' ') ... WHERE w <> '' so oracles can replay it."""
+    toks = [w for w in text.split(" ") if w]
     if len(toks) < k:
         toks = toks + [""] * (k - len(toks))
     out = np.empty(max(1, len(toks) - k + 1), dtype=np.uint64)
     for i in range(len(out)):
-        out[i] = zlib.crc32(" ".join(toks[i : i + k]).encode())
+        out[i] = _md5_lower64(" ".join(toks[i : i + k]))
     return np.unique(out)
+
+
+def minhash_params(num_hashes: int = 64, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    """The (A, B) multiply-shift permutation family, exposed so oracle SQL
+    generators can embed the identical constants."""
+    rng = np.random.default_rng(seed)
+    A = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    return A, B
 
 
 def minhash_signatures(
@@ -77,9 +91,7 @@ def minhash_signatures(
     ample for jaccard estimation (verified against exact shingle jaccard
     in tests).
     """
-    rng = np.random.default_rng(seed)
-    A = (rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
-    B = rng.integers(0, 2**63, size=num_hashes, dtype=np.uint64)
+    A, B = minhash_params(num_hashes, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
@@ -97,13 +109,32 @@ def minhash_lsh_pairs(
     sigs: DataFrame,
     bands: int = 16,
     threshold: float = 0.5,
+    num_hashes: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from LSH banding + signature-estimated jaccard.
 
     Output: (id_a, id_b, est_jaccard) with est_jaccard >= threshold.
     All JVM-side: band keys are xxhash64 over signature slices.
+
+    num_hashes: signature length; pass it when known (minhash_dedup does)
+    to avoid the probe action. When omitted it is probed with first(),
+    and an empty input yields an empty result instead of an error.
     """
-    num_hashes = len(sigs.select("sig").first()["sig"])
+    if num_hashes is None:
+        row = sigs.select("sig").first()
+        if row is None:  # empty corpus (e.g. quality gate dropped everything)
+            spark = sigs.sparkSession
+            return spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("id_a", sigs.schema["id"].dataType),
+                        T.StructField("id_b", sigs.schema["id"].dataType),
+                        T.StructField("est_jaccard", T.DoubleType()),
+                    ]
+                ),
+            )
+        num_hashes = len(row["sig"])
     if num_hashes % bands:
         raise ValueError(f"num_hashes {num_hashes} not divisible by bands {bands}")
     r = num_hashes // bands
@@ -151,31 +182,43 @@ def minhash_dedup(
     shingle_k: int = 3,
 ) -> DataFrame:
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    return minhash_lsh_pairs(sigs, bands, threshold)
+    return minhash_lsh_pairs(sigs, bands, threshold, num_hashes=num_hashes)
+
+
+def _md5_lower64(word: str) -> int:
+    """Lower 64 bits of md5, little-endian over digest bytes 8..16 —
+    bit-identical to DuckDB's md5_number_lower, so simhash fingerprints
+    are reproducible in plain SQL for oracle checks."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(word.encode()).digest()[8:], "little")
 
 
 def simhash_fingerprints(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
-    """(id, simhash: long) 64-bit SimHash over word tokens (count-weighted)."""
+    """(id, simhash: long) 64-bit SimHash over space-separated word tokens
+    (count-weighted majority vote per bit; token hash = md5 lower 64).
+
+    Tokenization is split-on-single-space with empties dropped, matching
+    SQL string_split(text, ' ') ... WHERE w <> '' exactly.
+    """
 
     @F.pandas_udf(T.LongType())
     def sim_udf(texts: pd.Series) -> pd.Series:
         out = np.empty(len(texts), dtype=np.int64)
         bit_idx = np.arange(64, dtype=np.uint64)
+        cache: dict[str, int] = {}
         for i, t in enumerate(texts):
-            toks = (t or "").split()
+            toks = [w for w in (t or "").split(" ") if w]
             if not toks:
                 out[i] = 0
                 continue
-            hashes = np.array(
-                [
-                    zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode() + b"#") << 32)
-                    for w in toks
-                ],
-                dtype=np.uint64,
-            )
-            bits = (hashes[:, None] >> bit_idx[None, :]) & 1  # (n_tok, 64)
+            for w in toks:
+                if w not in cache:
+                    cache[w] = _md5_lower64(w)
+            hashes = np.array([cache[w] for w in toks], dtype=np.uint64)
+            bits = (hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n_tok, 64)
             score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
             fp = np.uint64(0)
             for b in np.where(score > 0)[0]:
@@ -186,17 +229,29 @@ def simhash_fingerprints(
     return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """COMPLETE set of pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
-    Candidates via 16-bit band buckets (4 bands: any pair with <=3
-    differing bits shares an identical band); verification is native
-    bit_count(a ^ b).
+    Candidates via band buckets over the 64-bit fingerprint; by pigeonhole
+    a pair with <= bands-1 differing bits must share at least one intact
+    band, so completeness REQUIRES bands >= max_hamming + 1 (enforced).
+    Verification is native bit_count(a ^ b). Band widths are
+    ceil/floor(64/bands) — uneven widths are fine, only coverage matters.
     """
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall at max_hamming={max_hamming}: "
+            f"need bands >= max_hamming + 1 = {max_hamming + 1} (pigeonhole)"
+        )
+    if not 1 <= bands <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {bands}")
+    base, extra = divmod(64, bands)
+    widths = [base + 1] * extra + [base] * (bands - extra)
+    offsets = [sum(widths[:i]) for i in range(bands)]
     bands_arr = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-            for i in range(4)
+            F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+            for off, w in zip(offsets, widths)
         ]
     )
     exploded = fps.select("id", "simhash", F.posexplode(bands_arr).alias("band", "key"))
@@ -254,8 +309,10 @@ def ngram_jaccard_pairs(
 
 def connected_components_greedy(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     """Union-find over dup pairs: map every id to the min id of its
-    component (label propagation, converges in O(log n) rounds for the
-    short chains dedup produces). Output: (id, component)."""
+    component. Min-label propagation converges in O(component diameter)
+    rounds — fine for the short chains dedup produces; raises if a
+    component's diameter exceeds max_iter instead of silently returning
+    split components. Output: (id, component)."""
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -266,6 +323,7 @@ def connected_components_greedy(pairs: DataFrame, max_iter: int = 20) -> DataFra
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
@@ -283,4 +341,9 @@ def connected_components_greedy(pairs: DataFrame, max_iter: int = 20) -> DataFra
         ).localCheckpoint(eager=True)
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components_greedy did not converge in {max_iter} rounds "
+            "(a duplicate chain is longer than max_iter); raise max_iter"
+        )
     return labels.select(F.col("node").alias("id"), "component")

@@ -77,23 +77,40 @@ def cosine_topk_bruteforce(
     )
 
 
-def hyperplane_signature_expr(vec_col: str, n_planes: int, dim: int, seed: int, table: int):
-    """Native-expression random-hyperplane LSH signature: sign bits of
-    dot(v, plane_j) packed into a long. Planes are +-1 Rademacher
-    (deterministic from seed), so each dot product is a signed sum of
-    vector components — pure zip_with/aggregate, no UDF."""
+# Quantization scale for hyperplane signatures: components become
+# floor(v * 2^20) int64, so the ±1-plane dot product is an exact,
+# order-independent integer sum — one numpy matmul per Arrow batch here,
+# bit-identical to a plain-SQL replay in the oracle, and no codegen
+# blowup at real embedding dims (512–1536), unlike per-literal columns.
+QUANT = 1 << 20
+
+
+def hyperplane_planes(n_planes: int, dim: int, seed: int, table: int) -> np.ndarray:
+    """±1 Rademacher planes, deterministic from (seed, table); exposed so
+    oracle SQL generators embed the identical coefficients."""
     rng = np.random.default_rng(seed + 1000 * table)
-    planes = rng.choice([-1.0, 1.0], size=(n_planes, dim))
-    sig = F.lit(0).cast("long")
-    for j in range(n_planes):
-        coeffs = F.array(*[F.lit(float(c)) for c in planes[j]])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), coeffs, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        sig = sig + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return sig
+    return rng.choice([-1.0, 1.0], size=(n_planes, dim)).astype(np.int64)
+
+
+def hyperplane_signatures_col(vec_col: str, n_planes: int, n_tables: int, seed: int):
+    """array<long> column of n_tables LSH bucket keys (bit j of key t =
+    sign of quantized dot with plane j of table t)."""
+
+    @F.pandas_udf("array<long>")
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vecs), dtype=np.float64)
+        q = np.floor(mat * QUANT).astype(np.int64)
+        dim = q.shape[1]
+        shifts = np.arange(n_planes, dtype=np.int64)[None, :]
+        keys = np.empty((len(vecs), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            dots = q @ hyperplane_planes(n_planes, dim, seed, t).T  # exact int64
+            keys[:, t] = ((dots > 0).astype(np.int64) << shifts).sum(axis=1)
+        return pd.Series(list(keys))
+
+    return sig_udf(F.col(vec_col))
 
 
 def cosine_topk_lsh(
@@ -108,23 +125,15 @@ def cosine_topk_lsh(
 ) -> DataFrame:
     """Approximate cosine top-k: multi-table hyperplane LSH buckets, exact
     rerank within colliding buckets. Output schema matches brute force."""
-    dim = len(candidates.select(vec_col).first()[vec_col])
 
     def with_sigs(df: DataFrame, prefix: str) -> DataFrame:
-        sigs = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    hyperplane_signature_expr(vec_col, n_planes, dim, seed, t).alias("key"),
-                )
-                for t in range(n_tables)
-            ]
-        )
         return df.select(
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_v"),
-            F.explode(sigs).alias("sig"),
-        ).select(f"{prefix}_id", f"{prefix}_v", F.col("sig.table").alias("table"), F.col("sig.key").alias("key"))
+            F.posexplode(
+                hyperplane_signatures_col(vec_col, n_planes, n_tables, seed)
+            ).alias("table", "key"),
+        )
 
     c = with_sigs(candidates, "cand")
     p = with_sigs(probes, "probe")
@@ -161,18 +170,12 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup tier 4): LSH-bucketed
     self-join, exact cosine verify >= threshold."""
-    dim = len(df.select(vec_col).first()[vec_col])
-    sigs = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("table"),
-                hyperplane_signature_expr(vec_col, n_planes, dim, seed, t).alias("key"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(sigs).alias("sig")).select(
-        "id", "v", F.col("sig.table").alias("table"), F.col("sig.key").alias("key")
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(
+            hyperplane_signatures_col(vec_col, n_planes, n_tables, seed)
+        ).alias("table", "key"),
     )
     a = e.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "table", "key")
     b = e.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "table", "key")

@@ -406,8 +406,10 @@ def q19_lang_guess(spark, sf_dir):
 
 def q21_minhash_lsh(spark, sf_dir):
     """Dedup scale path: MinHash(128)+LSH(32 bands) near-dup candidate
-    pairs with signature-estimated jaccard >= 0.5. Non-SQL (hash family);
-    pytest verifies estimates against exact shingle jaccard."""
+    pairs with signature-estimated jaccard >= 0.5. Oracle: SQL replay of
+    the identical md5-shingle + multiply-shift family, band-collision +
+    estimate filter over the brute-force pair join; pytest additionally
+    verifies estimates against exact shingle jaccard."""
     from osmalyzer_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -415,12 +417,16 @@ def q21_minhash_lsh(spark, sf_dir):
 
 
 def q22_simhash(spark, sf_dir):
-    """Dedup: 64-bit SimHash fingerprints, near pairs at hamming <= 8 via
-    16-bit band buckets + native bit_count. Non-SQL (hash family)."""
+    """Dedup: 64-bit SimHash fingerprints (md5-lower-64 token hash), the
+    COMPLETE near-pair set at hamming <= 8 via 9-band buckets (pigeonhole:
+    bands >= max_hamming+1) + native bit_count verify. Oracle: brute-force
+    O(n^2) bit_count(xor) in DuckDB over SQL-recomputed fingerprints."""
     from osmalyzer_spark.operators.dedup import simhash_fingerprints, simhash_near_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(simhash_fingerprints(docs, "doc_id", "text"), max_hamming=8)
+    return simhash_near_pairs(
+        simhash_fingerprints(docs, "doc_id", "text"), max_hamming=8, bands=9
+    ).withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
 
 
 def q23_embedding_near_dup(spark, sf_dir):
@@ -513,7 +519,16 @@ def q27_correlator(spark, sf_dir):
         lone_allowance_expr=lambda df: F.col("elem_id") % 11 == 0,
     )
     res = correlate(spark, elements, items, params)
-    return res.correlations.withColumn("distance", F.round("distance", 3))
+    # typed sentinels instead of NULLs: the driver's value hasher stringifies
+    # None/NaN differently between the Spark and DuckDB pandas frames
+    return res.correlations.select(
+        "kind",
+        F.coalesce("osm_id", F.lit(-1)).alias("osm_id"),
+        F.coalesce(F.col("item_id").cast("long"), F.lit(-1)).alias("item_id"),
+        F.round(F.coalesce("distance", F.lit(-1.0)), 3).alias("distance"),
+        F.coalesce("strength", F.lit(0)).alias("strength"),
+        F.coalesce("far", F.lit(False)).alias("far"),
+    )
 
 
 def q28_clean_corpus(spark, sf_dir):
@@ -552,6 +567,223 @@ def q20_route_variants(spark, sf_dir):
 # DuckDB oracle SQL
 # --------------------------------------------------------------------------
 
+
+def _minhash_oracle_sql(
+    num_hashes: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 7,
+    src: str = "documents",
+) -> str:
+    """Replays minhash_dedup exactly in SQL: md5-lower-64 shingle hashes,
+    the identical multiply-shift (A,B) family (embedded as literals;
+    wrap-around uint64 multiply done as split hi/lo HUGEINT arithmetic),
+    band collision (a fully-equal signature slice) + estimated-jaccard
+    filter over the brute-force pair join."""
+    from osmalyzer_spark.operators.dedup import minhash_params
+
+    A, B = minhash_params(num_hashes, seed)
+    vals = ", ".join(
+        f"({i}, {int(a) >> 32}::HUGEINT, {int(a) & 0xFFFFFFFF}::HUGEINT, {int(b)}::HUGEINT)"
+        for i, (a, b) in enumerate(zip(A, B))
+    )
+    r = num_hashes // bands
+    pads = ", ".join(f"coalesce(words[{j + 1}], '')" for j in range(shingle_k))
+    return f"""
+        WITH perms(pi, pa_hi, pa_lo, pb) AS (VALUES {vals}),
+        w AS (
+          SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+          FROM {src}
+        ),
+        sh AS (
+          SELECT DISTINCT doc_id, CAST(md5_number_lower(
+            CASE WHEN len(words) >= {shingle_k}
+                 THEN list_aggregate(words[si:si+{shingle_k - 1}], 'string_agg', ' ')
+                 ELSE concat_ws(' ', {pads}) END) AS HUGEINT) AS h
+          FROM w, (SELECT unnest(range(1, 1000000)) AS si) g
+          WHERE si <= greatest(len(words) - {shingle_k - 1}, 1)
+        ),
+        sigs AS (
+          SELECT doc_id, pi,
+                 min(CAST((((pa_hi * h) % 4294967296 * 4294967296 + pa_lo * h + pb)
+                           % 18446744073709551616) // 2 AS BIGINT)) AS v
+          FROM sh, perms GROUP BY doc_id, pi
+        ),
+        bd AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pi // {r} AS band,
+                 sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS n_eq_band
+          FROM sigs a JOIN sigs b ON a.pi = b.pi AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3
+        ),
+        ps AS (
+          SELECT id_a, id_b, sum(n_eq_band) AS n_eq,
+                 max(CASE WHEN n_eq_band = {r} THEN 1 ELSE 0 END) AS collide
+          FROM bd GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, round(n_eq / {float(num_hashes)!r}, 4) AS est_jaccard
+        FROM ps
+        WHERE collide = 1 AND n_eq / {float(num_hashes)!r} >= {threshold!r}
+    """
+
+
+_EMB_DIM = 64  # driver testdata embeddings dimension
+
+
+def _hyperplane_keys_sql(
+    qvec: str, n_planes: int, dim: int, seed: int, n_tables: int
+) -> list[str]:
+    """One bucket-key expression per LSH table over a quantized int64
+    vector column — the exact integer arithmetic of
+    similarity.hyperplane_signatures_col (same planes, same sign rule)."""
+    from osmalyzer_spark.operators.similarity import hyperplane_planes
+
+    keys = []
+    for t in range(n_tables):
+        planes = hyperplane_planes(n_planes, dim, seed, t)
+        terms = []
+        for j in range(n_planes):
+            dot = " + ".join(
+                ("-" if planes[j, i] < 0 else "") + f"{qvec}[{i + 1}]"
+                for i in range(dim)
+            )
+            terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+        keys.append("(" + " + ".join(terms) + ")")
+    return keys
+
+
+def _quantized_emb_cte() -> str:
+    return """
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0e0) AS BIGINT)) AS qv
+        FROM embeddings
+    """
+
+
+def _embedding_near_dup_oracle_sql(
+    threshold: float, n_planes: int, n_tables: int, seed: int
+) -> str:
+    keys = _hyperplane_keys_sql("qv", n_planes, _EMB_DIM, seed, n_tables)
+    sel = ", ".join(f"{k} AS k{t}" for t, k in enumerate(keys))
+    coll = " OR ".join(f"a.k{t} = b.k{t}" for t in range(n_tables))
+    return f"""
+        WITH q AS ({_quantized_emb_cte()}),
+        s AS (SELECT vec_id, v, {sel} FROM q),
+        pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+          FROM s a JOIN s b ON a.vec_id < b.vec_id AND ({coll})
+        )
+        SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs WHERE cos >= {threshold!r}
+    """
+
+
+def _cosine_lsh_oracle_sql(
+    k: int, n_planes: int, n_tables: int, seed: int, probe_pred: str
+) -> str:
+    keys = _hyperplane_keys_sql("qv", n_planes, _EMB_DIM, seed, n_tables)
+    sel = ", ".join(f"{kx} AS k{t}" for t, kx in enumerate(keys))
+    coll = " OR ".join(f"p.k{t} = c.k{t}" for t in range(n_tables))
+    return f"""
+        WITH q AS ({_quantized_emb_cte()}),
+        s AS (SELECT vec_id, v, {sel} FROM q),
+        pairs AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+                 list_dot_product(p.v, c.v)
+                   / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+          FROM s p JOIN s c ON p.vec_id <> c.vec_id AND ({coll})
+          WHERE p.{probe_pred}
+        ), ranked AS (
+          SELECT probe_id, cand_id, cos,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id ASC) AS rank
+          FROM pairs
+        )
+        SELECT probe_id, cand_id, round(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _clean_corpus_oracle_sql(
+    min_quality: float = 0.4,
+    neardup_threshold: float = 0.6,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> str:
+    """Replays plans.pipeline.clean_corpus stage by stage: the quality
+    score (textstats.quality_score arithmetic verbatim), exact token-set
+    dedup group keepers, the minhash near-dup pairs (shared generator,
+    src=exact_docs), and connected components as a recursive reachability
+    closure (UNION-dedup recursion; min root id per node == the engine's
+    min-label propagation fixed point)."""
+    minhash_q = _minhash_oracle_sql(
+        num_hashes, bands, 3, neardup_threshold, 7, src="exact_docs"
+    )
+    return f"""
+        WITH RECURSIVE
+        q_words AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+          FROM documents
+        ),
+        q_stats AS (
+          SELECT doc_id, text, words, len(words) AS n,
+                 CASE WHEN len(words) > 0
+                      THEN list_sum(list_transform(words, w -> length(w))) / len(words)
+                      ELSE 0.0e0 END AS mean_len,
+                 CASE WHEN len(words) > 0
+                      THEN len(list_filter(words, w -> lower(w) IN ({_STOP_IN}))) / len(words)
+                      ELSE 0.0e0 END AS stop_r,
+                 CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text)
+                      ELSE 0.0e0 END AS punct_r
+          FROM q_words
+        ),
+        quality AS (
+          SELECT doc_id, text, words,
+                 round(0.3e0 * (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0e0 ELSE 0.3e0 END)
+                     + 0.2e0 * (CASE WHEN mean_len >= 2.5e0 AND mean_len <= 12.0e0 THEN 1.0e0 ELSE 0.4e0 END)
+                     + 0.3e0 * (CASE WHEN stop_r >= 0.01e0 THEN 1.0e0 ELSE 0.5e0 END)
+                     + 0.2e0 * (CASE WHEN punct_r <= 0.2e0 THEN 1.0e0 ELSE 0.4e0 END), 4) AS quality
+          FROM q_stats
+        ),
+        quality_docs AS (
+          SELECT doc_id, text, words FROM quality WHERE quality >= {min_quality!r}
+        ),
+        grouped AS (
+          SELECT list_sort(list_distinct(words)) AS toks, min(doc_id) AS keep_id
+          FROM quality_docs GROUP BY 1
+        ),
+        exact_docs AS (
+          SELECT q.doc_id, q.text FROM quality_docs q
+          JOIN grouped g ON q.doc_id = g.keep_id
+        ),
+        mh_pairs AS ({minhash_q}),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM mh_pairs
+          UNION ALL SELECT id_b, id_a FROM mh_pairs
+        ),
+        reach AS (
+          SELECT src AS node, src AS root FROM edges
+          UNION
+          SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node),
+        counts AS (
+          SELECT (SELECT count(*) FROM documents) AS n_input,
+                 (SELECT count(*) FROM quality_docs) AS n_quality,
+                 (SELECT count(*) FROM exact_docs) AS n_exact,
+                 (SELECT count(*) FROM exact_docs)
+                   - (SELECT count(*) FROM comp WHERE component < node) AS n_final
+        )
+        SELECT 'input' AS stage, CAST(n_input AS BIGINT) AS n_docs FROM counts
+        UNION ALL SELECT 'after_quality', CAST(n_quality AS BIGINT) FROM counts
+        UNION ALL SELECT 'after_exact_dedup', CAST(n_exact AS BIGINT) FROM counts
+        UNION ALL SELECT 'after_neardup', CAST(n_final AS BIGINT) FROM counts
+    """
+
+
 _ORACLES: dict[str, str] = {
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -566,7 +798,7 @@ _ORACLES: dict[str, str] = {
           SELECT event_type, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
           FROM events
         )
-        SELECT event_type, count(*) AS n, sum(k) AS sum_k FROM e WHERE k >= 50
+        SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k FROM e WHERE k >= 50
         GROUP BY event_type
     """,
     "q03_unique_values": "SELECT DISTINCT c_mktsegment AS segment FROM customer",
@@ -611,7 +843,9 @@ _ORACLES: dict[str, str] = {
           SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ROWS UNBOUNDED PRECEDING) AS sess
           FROM (SELECT user_id, new_sess FROM g) q
         )
-        SELECT user_id, max(sess) AS n_sessions, count(*) AS n_events FROM s GROUP BY user_id
+        SELECT user_id, CAST(max(sess) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id
     """,
     "q10_knn_radius": f"""
         WITH i AS ({_GEO_SUPP_SQL}), c AS ({_GEO_CUST_SQL}),
@@ -731,6 +965,122 @@ _ORACLES: dict[str, str] = {
           FROM events GROUP BY user_id
         )
         SELECT type_seq, count(*) AS n_users FROM seqs GROUP BY type_seq
+    """,
+    "q21_minhash_lsh": _minhash_oracle_sql(
+        num_hashes=128, bands=32, shingle_k=3, threshold=0.5, seed=7
+    ),
+    "q28_clean_corpus": _clean_corpus_oracle_sql(
+        min_quality=0.4, neardup_threshold=0.6, num_hashes=128, bands=32
+    ),
+    "q23_embedding_near_dup": _embedding_near_dup_oracle_sql(
+        threshold=0.4, n_planes=12, n_tables=4, seed=13
+    ),
+    "q24_cosine_lsh": _cosine_lsh_oracle_sql(
+        k=3, n_planes=10, n_tables=4, seed=11, probe_pred="vec_id < 20"
+    ),
+    # Ground truth for the flagship correlator: the deferred-acceptance
+    # fixed point is the unique proposer-optimal stable matching and is
+    # processing-order independent (correlator.py module docstring), so a
+    # SYNCHRONOUS Gale-Shapley — expressible as a recursive CTE carrying
+    # the full candidate state per round, rejections accumulating — must
+    # produce the identical matching. Brute-force O(items x elems)
+    # candidate generation; fine at sf0.01.
+    "q27_correlator": f"""
+        WITH RECURSIVE i AS (
+          SELECT item_id, item_lat, item_lon, CAST(item_id % 7 AS VARCHAR) AS item_tag
+          FROM ({_GEO_SUPP_SQL})
+        ), c AS (
+          SELECT elem_id, elem_lat, elem_lon, CAST(elem_id % 7 AS VARCHAR) AS elem_tag
+          FROM ({_GEO_CUST_SQL})
+        ), cand AS (
+          SELECT * FROM (
+            SELECT i.item_id, c.elem_id,
+                   CASE WHEN i.item_tag = c.elem_tag THEN 3 ELSE 1 END AS strength,
+                   {_PAIR_DIST_SQL} AS dist_m
+            FROM i CROSS JOIN c
+          ) p
+          WHERE dist_m <= 4500.0e0
+            AND dist_m <= (CASE WHEN strength >= 3 THEN 4500.0e0 ELSE 1500.0e0 END)
+        ), gs AS (
+          SELECT item_id, elem_id, strength, dist_m, FALSE AS rejected, 0 AS it
+          FROM cand
+          UNION ALL
+          SELECT item_id, elem_id, strength, dist_m,
+                 rejected OR (proposing AND NOT winner) AS rejected,
+                 it + 1 AS it
+          FROM (
+            SELECT q3.*,
+                   sum(CASE WHEN proposing AND NOT winner THEN 1 ELSE 0 END) OVER () AS n_lost
+            FROM (
+              SELECT q2.*,
+                     proposing AND row_number() OVER (
+                       PARTITION BY elem_id, proposing
+                       ORDER BY strength DESC, dist_m ASC, item_id ASC) = 1 AS winner
+              FROM (
+                SELECT s.*,
+                       (NOT s.rejected) AND row_number() OVER (
+                         PARTITION BY s.item_id
+                         ORDER BY s.rejected ASC, s.dist_m ASC, s.elem_id ASC) = 1 AS proposing
+                FROM gs s
+              ) q2
+            ) q3
+          ) w
+          WHERE n_lost > 0
+        ), matched AS (
+          SELECT item_id, elem_id, strength, dist_m FROM (
+            SELECT s.*, row_number() OVER (PARTITION BY item_id ORDER BY dist_m, elem_id) AS rn
+            FROM (SELECT * FROM gs WHERE it = (SELECT max(it) FROM gs)) s
+            WHERE NOT rejected
+          ) WHERE rn = 1
+        ), unmatched_items AS (
+          SELECT item_id FROM i WHERE item_id NOT IN (SELECT item_id FROM matched)
+        ), unmatched_elems AS (
+          SELECT elem_id FROM c WHERE elem_id NOT IN (SELECT elem_id FROM matched)
+        )
+        SELECT CASE WHEN dist_m > 150.0e0 THEN 'matched_far' ELSE 'matched' END AS kind,
+               elem_id AS osm_id, item_id,
+               round(dist_m, 3) AS distance, strength, dist_m > 150.0e0 AS far
+        FROM matched
+        UNION ALL
+        SELECT 'unmatched_item', CAST(-1 AS BIGINT), item_id,
+               -1.0e0, 0, FALSE
+        FROM unmatched_items
+        UNION ALL
+        SELECT 'unmatched_osm', elem_id, CAST(-1 AS BIGINT), -1.0e0, 0, FALSE
+        FROM unmatched_elems WHERE elem_id % 11 <> 0
+        UNION ALL
+        SELECT 'lone_osm', elem_id, CAST(-1 AS BIGINT), -1.0e0, 0, FALSE
+        FROM unmatched_elems WHERE elem_id % 11 = 0
+    """,
+    # Brute-force O(n^2) ground truth for q22: recompute the md5-lower-64
+    # count-weighted simhash per document in SQL, then bit_count(xor) over
+    # the full pair join — verifies the banding path returns the COMPLETE
+    # hamming<=8 set.
+    "q22_simhash": """
+        WITH toks AS (
+          SELECT doc_id, md5_number_lower(w) AS h
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+          WHERE w <> ''
+        ), bits AS (
+          SELECT doc_id, b, sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS score
+          FROM toks CROSS JOIN (SELECT unnest(range(64)) AS b)
+          GROUP BY doc_id, b
+        ), halves AS (
+          SELECT doc_id,
+                 sum(CASE WHEN score > 0 AND b < 32 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS lo,
+                 sum(CASE WHEN score > 0 AND b >= 32 THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS hi
+          FROM bits GROUP BY doc_id
+        ), fp AS (
+          SELECT doc_id,
+                 CAST(CASE WHEN hi >= 2147483648
+                           THEN CAST(hi AS HUGEINT) * 4294967296 + lo - 18446744073709551616
+                           ELSE CAST(hi AS HUGEINT) * 4294967296 + lo END AS BIGINT) AS simhash
+          FROM halves
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
     """,
     "q26_sharp_angles": f"""
         WITH pts AS (

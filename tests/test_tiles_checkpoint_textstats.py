@@ -119,3 +119,48 @@ def test_checkpoint_resume_after_crash(spark, tmp_out):
     fresh = _process(_inp(spark))
     assert out.select("id", "val", "out_val").exceptAll(fresh).count() == 0
     assert fresh.exceptAll(out.select("id", "val", "out_val")).count() == 0
+
+
+def test_checkpoint_crash_between_data_and_progress_no_duplicates(spark, tmp_out):
+    """The dangerous window: a batch's bucket DATA is on disk but its
+    progress rows are not. The resume must REPLACE those partitions
+    (dynamic overwrite), not append a second copy."""
+    ck = CheckpointedRun(tmp_out, run_id="r3", n_buckets=8, buckets_per_batch=2)
+    expr = F.pmod(F.xxhash64("id"), F.lit(8))
+    with pytest.raises(RuntimeError, match="before progress"):
+        ck.run(spark, _inp(spark), _process, bucket_expr=expr, fail_before_progress_batch=1)
+    # batch 0 fully committed; batch 1's data written but unacknowledged
+    assert len(ck.done_buckets(spark)) == 2
+    out = ck.run(spark, _inp(spark), _process, bucket_expr=expr)
+    assert out.count() == 1000  # exactly — no duplicate-append
+    assert sorted(out.select("id").toPandas()["id"]) == list(range(1000))
+
+
+def test_checkpoint_single_pass(spark, tmp_out):
+    """The scale path: every pending bucket computed + written in one
+    shuffle-partitioned job, with per-bucket lineage still recorded."""
+    ck = CheckpointedRun(tmp_out, run_id="sp1", n_buckets=8)
+    expr = F.pmod(F.xxhash64("id"), F.lit(8))
+    out = ck.run_single_pass(spark, _inp(spark), _process, bucket_expr=expr)
+    assert out.count() == 1000
+    m = ck.metrics(spark)
+    assert m.count() == 8
+    assert m.agg(F.sum("rows_in")).first()[0] == 1000
+    assert m.agg(F.sum("rows_out")).first()[0] == 1000
+
+
+def test_checkpoint_single_pass_crash_window_resume(spark, tmp_out):
+    """Crash after the single-pass data write, before progress: resume
+    rewrites every unacknowledged bucket; counts stay exact."""
+    ck = CheckpointedRun(tmp_out, run_id="sp2", n_buckets=8)
+    expr = F.pmod(F.xxhash64("id"), F.lit(8))
+    with pytest.raises(RuntimeError, match="before progress"):
+        ck.run_single_pass(
+            spark, _inp(spark), _process, bucket_expr=expr, fail_before_progress=True
+        )
+    assert len(ck.done_buckets(spark)) == 0
+    out = ck.run_single_pass(spark, _inp(spark), _process, bucket_expr=expr)
+    assert out.count() == 1000
+    assert sorted(out.select("id").toPandas()["id"]) == list(range(1000))
+    fresh = _process(_inp(spark).withColumn("__bucket", expr.cast("int"))).drop("__bucket")
+    assert out.exceptAll(fresh).count() == 0 and fresh.exceptAll(out).count() == 0
