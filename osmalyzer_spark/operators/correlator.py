@@ -79,9 +79,13 @@ class CorrelatorParams:
     lone_allowance_expr: Callable[[DataFrame], Column] | None = None
     # MatchLoneElementsOnStrongMatchParamater: minimum strength to upgrade
     lone_strong_match_strength: int | None = None
-    # optional distance cap for the upgrade pass (reference is unbounded;
-    # a bound keeps the residual join from going quadratic at scale)
+    # distance cap for the upgrade pass. None (default) = seek_distance,
+    # so the residual join is always a bounded radius_join. The
+    # reference's unbounded semantics (a lone element may upgrade against
+    # an arbitrarily distant item) is an explicit opt-in because it is a
+    # crossJoin — quadratic in the residual sizes at scale.
     lone_upgrade_radius_m: float | None = None
+    lone_upgrade_unbounded: bool = False
     polygon: Polygon | None = None  # FilterItemsToPolygonParamater
     report_outside_polygon: bool = True
     salt: SaltSpec | None = None
@@ -228,6 +232,15 @@ def deferred_acceptance(
             .distinct()
             .localCheckpoint(eager=True)
         )
+    else:
+        # loop exhausted without the no-losers break: the matching has NOT
+        # reached the stable fixed point — returning it silently would
+        # diverge from the reference (ADVICE r1). Displacement chains are
+        # at most O(acceptors), so a sufficient max_rounds always exists.
+        raise RuntimeError(
+            f"deferred_acceptance did not converge in {max_rounds} rounds; "
+            "raise max_rounds (chains are bounded by the acceptor count)"
+        )
     return holds.drop("__pref"), rounds
 
 
@@ -331,21 +344,23 @@ def correlate(
         and p.strength_expr is not None
         and not p.match_anywhere
     ):
-        if p.lone_upgrade_radius_m is not None:
-            up_pairs = radius_join(
-                lone_cand,
-                unmatched_items,
-                p.lone_upgrade_radius_m,
-                probe_coords=("elem_lat", "elem_lon"),
-                build_coords=("item_lat", "item_lon"),
-                dist_col="dist_m",
-            )
-        else:
+        if p.lone_upgrade_unbounded:
             from osmalyzer_spark.geo.distance import haversine_m
 
             up_pairs = lone_cand.crossJoin(unmatched_items).withColumn(
                 "dist_m",
                 haversine_m("item_lat", "item_lon", "elem_lat", "elem_lon"),
+            )
+        else:
+            up_pairs = radius_join(
+                lone_cand,
+                unmatched_items,
+                p.lone_upgrade_radius_m
+                if p.lone_upgrade_radius_m is not None
+                else p.seek_distance,
+                probe_coords=("elem_lat", "elem_lon"),
+                build_coords=("item_lat", "item_lon"),
+                dist_col="dist_m",
             )
         up_pairs = up_pairs.withColumn(
             "strength", p.strength_expr(up_pairs).cast("int")

@@ -542,6 +542,103 @@ def q28_clean_corpus(spark, sf_dir):
     return spark.createDataFrame(report.as_rows(), "stage string, n_docs long")
 
 
+# shared synthetic-address derivation for q29 (identical SQL text in both
+# engines): 5 template variants exercise street+number parsing, locative
+# suffix fixing, quoted house names, the house/street ambiguity fallback,
+# known-vocabulary city/parish hits, and postcode cleaning.
+_ADDR_STEM_SQL = (
+    "(CASE (c_custkey) % 7 WHEN 0 THEN 'Ozolu' WHEN 1 THEN 'Liepu' "
+    "WHEN 2 THEN 'Skolas' WHEN 3 THEN 'Dzirnavu' WHEN 4 THEN 'Upes' "
+    "WHEN 5 THEN 'Kalna' ELSE 'Vidus' END)"
+)
+_ADDR_N_SQL = "CAST((c_custkey) % 89 + 1 AS STRING)"
+_ADDR_U_SQL = "CAST((c_custkey) % 9 + 1 AS STRING)"
+_ADDR_P_SQL = "CAST(1000 + (c_custkey) % 9000 AS STRING)"
+_ADDR_SQL = f"""(CASE (c_custkey) % 5
+    WHEN 0 THEN {_ADDR_STEM_SQL} || ' iela ' || {_ADDR_N_SQL} || ', Rīga, LV-' || {_ADDR_P_SQL}
+    WHEN 1 THEN {_ADDR_STEM_SQL} || ' ielā ' || {_ADDR_N_SQL} || 'A, Valmiera'
+    WHEN 2 THEN '"' || {_ADDR_STEM_SQL} || 'muiža", Brenguļu pagasts'
+    WHEN 3 THEN {_ADDR_STEM_SQL} || ' ' || {_ADDR_N_SQL} || ', Ludza'
+    ELSE {_ADDR_STEM_SQL} || ' iela ' || {_ADDR_N_SQL} || '-' || {_ADDR_U_SQL}
+         || ', Ornitoloģijas novads, ' || {_ADDR_P_SQL}
+    END)"""
+
+
+def q29_fuzzy_parse(spark, sf_dir):
+    """J9 fuzzy-address parser over synthetic template addresses: the REAL
+    confidence-lattice parser runs in Spark; the oracle predicts its
+    output per template in SQL — a differential test of parsing, suffix
+    fixing, ambiguity fallbacks, vocabulary hits, and postcode cleaning
+    (reference: FuzzyAddressParser.cs)."""
+    from osmalyzer_spark.functions.fuzzy_address import parse_addresses
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("addr_id"), F.expr(_ADDR_SQL).alias("addr")
+    )
+    parts = parse_addresses(c, "addr_id", "addr")
+    return parts.select(
+        F.col("addr_id").alias("custkey"),
+        "part_type",
+        "part_index",
+        "confidence",
+        F.coalesce("value", F.lit("")).alias("value"),
+        F.coalesce("street", F.lit("")).alias("street"),
+        F.coalesce("number", F.lit("")).alias("number"),
+        F.coalesce("unit", F.lit("")).alias("unit"),
+        "is_fallback",
+    )
+
+
+# synthetic addressables for q30 (from supplier; identical SQL in both
+# engines — same stem vocabulary as _ADDR_SQL so joins actually hit)
+_A_STEM_SQL = _ADDR_STEM_SQL.replace("c_custkey", "s_suppkey")
+_A_N_SQL = _ADDR_N_SQL.replace("c_custkey", "s_suppkey")
+_A_U_SQL = _ADDR_U_SQL.replace("c_custkey", "s_suppkey")
+_A_P_SQL = _ADDR_P_SQL.replace("c_custkey", "s_suppkey")
+_ADDRESSABLE_COLS_SQL = {
+    "house_name": f"(CASE WHEN (s_suppkey) % 4 = 0 THEN {_A_STEM_SQL} || 'muiža' ELSE NULL END)",
+    "street": f"(CASE WHEN (s_suppkey) % 4 <> 0 THEN {_A_STEM_SQL} || ' iela' ELSE NULL END)",
+    "number": f"(CASE WHEN (s_suppkey) % 4 <> 0 THEN {_A_N_SQL} ELSE NULL END)",
+    "unit": f"(CASE WHEN (s_suppkey) % 4 <> 0 THEN {_A_U_SQL} ELSE NULL END)",
+    "city": "(CASE (s_suppkey) % 3 WHEN 0 THEN 'Rīga' WHEN 1 THEN 'Valmiera' ELSE 'Ludza' END)",
+    "parish": "(CASE WHEN (s_suppkey) % 5 = 2 THEN 'Brenguļu pagasts' ELSE NULL END)",
+    "municipality": "(CASE WHEN (s_suppkey) % 6 = 1 THEN 'Ornitoloģijas novads' ELSE NULL END)",
+    "postcode": f"('LV-' || {_A_P_SQL})",
+}
+
+
+def q30_fuzzy_geocode(spark, sf_dir):
+    """J9 complete: freeform addresses (real parser) geocoded against a
+    synthetic addressables table via the distributed equi-join finder
+    (reference: FuzzyAddressFinder.cs). Oracle re-implements candidate
+    scoring + region-tier preference + tied-winner averaging in SQL."""
+    from osmalyzer_spark.functions.fuzzy_address import fuzzy_geocode, parse_addresses
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("addr_id"), F.expr(_ADDR_SQL).alias("addr")
+    )
+    parsed = parse_addresses(c, "addr_id", "addr")
+    s = _t(spark, sf_dir, "supplier")
+    addressables = s.select(
+        F.col("s_suppkey").alias("elem_id"),
+        F.expr(synth_lat_sql("s_suppkey")).alias("lat"),
+        F.expr(synth_lon_sql("s_suppkey")).alias("lon"),
+        *[F.expr(sql).alias(name) for name, sql in _ADDRESSABLE_COLS_SQL.items()],
+        F.lit(None).cast("string").alias("old_house_name"),
+        F.lit(None).cast("string").alias("old_street"),
+        F.lit(None).cast("string").alias("old_number"),
+        F.lit(None).cast("string").alias("old_unit"),
+    )
+    out = fuzzy_geocode(parsed, addressables)
+    return out.select(
+        F.col("addr_id").alias("custkey"),
+        F.round("lat", 4).alias("lat"),
+        F.round("lon", 4).alias("lon"),
+        F.col("score").cast("int").alias("score"),
+        "n_tied",
+    )
+
+
 def q20_route_variants(spark, sf_dir):
     """A8 route-variant extraction: group identical ordered event-type
     sequences (events as GTFS stop_times analog)."""
@@ -966,6 +1063,117 @@ _ORACLES: dict[str, str] = {
         )
         SELECT type_seq, count(*) AS n_users FROM seqs GROUP BY type_seq
     """,
+    # Predicted parser output per address template (see _ADDR_SQL): each
+    # template's parts, indexes, and confidences are determined by the
+    # parser's documented rules, so the oracle enumerates them directly.
+    "q29_fuzzy_parse": f"""
+        WITH c AS (
+          SELECT c_custkey AS k, (c_custkey) % 5 AS t,
+                 {_ADDR_STEM_SQL} AS stem, {_ADDR_N_SQL} AS n,
+                 {_ADDR_U_SQL} AS u, {_ADDR_P_SQL} AS p
+          FROM customer
+        )
+        SELECT k AS custkey, 'street' AS part_type, 0 AS part_index, 3 AS confidence,
+               '' AS value, stem || ' iela' AS street, n AS number, '' AS unit,
+               FALSE AS is_fallback
+        FROM c WHERE t = 0
+        UNION ALL SELECT k, 'city', 1, 3, 'Rīga', '', '', '', FALSE FROM c WHERE t = 0
+        UNION ALL SELECT k, 'postcode', 2, 3, 'LV-' || p, '', '', '', FALSE FROM c WHERE t = 0
+        UNION ALL SELECT k, 'street', 0, 3, '', stem || ' iela', n || 'A', '', FALSE FROM c WHERE t = 1
+        UNION ALL SELECT k, 'city', 1, 3, 'Valmiera', '', '', '', FALSE FROM c WHERE t = 1
+        UNION ALL SELECT k, 'house_name', 0, 3, stem || 'muiža', '', '', '', FALSE FROM c WHERE t = 2
+        UNION ALL SELECT k, 'parish', 1, 3, 'Brenguļu pagasts', '', '', '', FALSE FROM c WHERE t = 2
+        UNION ALL SELECT k, 'house_name', 0, 0, stem || ' ' || n, '', '', '', FALSE FROM c WHERE t = 3
+        UNION ALL SELECT k, 'street', 0, 0, '', stem || ' iela', n, '', TRUE FROM c WHERE t = 3
+        UNION ALL SELECT k, 'city', 1, 3, 'Ludza', '', '', '', FALSE FROM c WHERE t = 3
+        UNION ALL SELECT k, 'street', 0, 3, '', stem || ' iela', n, u, FALSE FROM c WHERE t = 4
+        UNION ALL SELECT k, 'municipality', 1, 0, 'Ornitoloģijas novads', '', '', '', FALSE FROM c WHERE t = 4
+        UNION ALL SELECT k, 'postcode', 2, 0, 'LV-' || p, '', '', '', FALSE FROM c WHERE t = 4
+    """,
+    # Independent SQL re-implementation of the geocode scoring: predicted
+    # per-template parsed fields -> OR-join candidates -> match flags +
+    # fallback promotion -> min-requirements + score -> region-tier
+    # preference -> averaged tied winners.
+    "q30_fuzzy_geocode": f"""
+        WITH kbase AS (
+          SELECT c_custkey AS k, (c_custkey) % 5 AS t,
+                 {_ADDR_STEM_SQL} AS stem, {_ADDR_N_SQL} AS n,
+                 {_ADDR_U_SQL} AS u, {_ADDR_P_SQL} AS p
+          FROM customer
+        ), ka AS (
+          SELECT k,
+                 CASE WHEN t = 2 THEN stem || 'muiža'
+                      WHEN t = 3 THEN stem || ' ' || n ELSE NULL END AS k_house,
+                 CASE WHEN t IN (0, 1, 4) THEN stem || ' iela' ELSE NULL END AS k_street,
+                 CASE WHEN t = 0 THEN n WHEN t = 1 THEN n || 'A'
+                      WHEN t = 4 THEN n ELSE NULL END AS k_number,
+                 CASE WHEN t = 4 THEN u ELSE NULL END AS k_unit,
+                 CASE WHEN t = 3 THEN stem || ' iela' ELSE NULL END AS k_fb_street,
+                 CASE WHEN t = 3 THEN n ELSE NULL END AS k_fb_number,
+                 CASE WHEN t = 0 THEN 'Rīga' WHEN t = 1 THEN 'Valmiera'
+                      WHEN t = 3 THEN 'Ludza' ELSE NULL END AS k_city,
+                 CASE WHEN t = 2 THEN 'Brenguļu pagasts' ELSE NULL END AS k_parish,
+                 CASE WHEN t = 4 THEN 'Ornitoloģijas novads' ELSE NULL END AS k_muni,
+                 CASE WHEN t IN (0, 4) THEN 'LV-' || p ELSE NULL END AS k_post,
+                 CASE WHEN t = 2 THEN lower('Brenguļu pagasts') ELSE NULL END AS k_single_parish,
+                 CASE WHEN t = 0 THEN lower('Rīga') WHEN t = 1 THEN lower('Valmiera')
+                      WHEN t = 3 THEN lower('Ludza') ELSE NULL END AS k_single_city
+          FROM kbase
+        ), sa AS (
+          SELECT s_suppkey AS e,
+                 {synth_lat_sql("s_suppkey")} AS lat,
+                 {synth_lon_sql("s_suppkey")} AS lon,
+                 {_ADDRESSABLE_COLS_SQL["house_name"]} AS a_house,
+                 {_ADDRESSABLE_COLS_SQL["street"]} AS a_street,
+                 {_ADDRESSABLE_COLS_SQL["number"]} AS a_number,
+                 {_ADDRESSABLE_COLS_SQL["unit"]} AS a_unit,
+                 {_ADDRESSABLE_COLS_SQL["city"]} AS a_city,
+                 {_ADDRESSABLE_COLS_SQL["parish"]} AS a_parish,
+                 {_ADDRESSABLE_COLS_SQL["municipality"]} AS a_muni,
+                 {_ADDRESSABLE_COLS_SQL["postcode"]} AS a_post
+          FROM supplier
+        ), flags AS (
+          SELECT ka.k, sa.e, sa.lat, sa.lon,
+                 coalesce(lower(sa.a_house) = lower(ka.k_house), FALSE) AS hn,
+                 coalesce(lower(sa.a_street) = lower(ka.k_street), FALSE) AS st,
+                 coalesce(lower(sa.a_number) = lower(ka.k_number), FALSE) AS num,
+                 coalesce(lower(sa.a_unit) = lower(ka.k_unit), FALSE) AS unitm,
+                 coalesce(lower(sa.a_street) = lower(ka.k_fb_street), FALSE) AS fb_st,
+                 coalesce(lower(sa.a_number) = lower(ka.k_fb_number), FALSE) AS fb_num,
+                 coalesce(lower(sa.a_city) = lower(ka.k_city), FALSE) AS citym,
+                 coalesce(lower(sa.a_parish) = lower(ka.k_parish), FALSE) AS parishm,
+                 coalesce(lower(sa.a_muni) = lower(ka.k_muni), FALSE) AS munim,
+                 coalesce(lower(sa.a_post) = lower(ka.k_post), FALSE) AS postm,
+                 coalesce(lower(sa.a_parish) = ka.k_single_parish, FALSE) AS tier_parish,
+                 coalesce(lower(sa.a_city) = ka.k_single_city, FALSE) AS tier_city
+          FROM ka JOIN sa ON
+               (ka.k_house IS NOT NULL AND lower(sa.a_house) = lower(ka.k_house))
+            OR (ka.k_street IS NOT NULL AND lower(sa.a_street) = lower(ka.k_street))
+            OR (ka.k_fb_street IS NOT NULL AND lower(sa.a_street) = lower(ka.k_fb_street))
+        ), promoted AS (
+          SELECT *,
+                 st OR (NOT st AND NOT num AND NOT hn AND fb_st) AS st2,
+                 num OR (NOT st AND NOT num AND NOT hn AND fb_num) AS num2
+          FROM flags
+        ), scored AS (
+          SELECT k, e, lat, lon,
+                 CASE WHEN tier_parish THEN 0 WHEN tier_city THEN 1 ELSE 3 END AS tier,
+                 (CASE WHEN hn THEN 20 ELSE 0 END) + (CASE WHEN st2 THEN 10 ELSE 0 END)
+                 + (CASE WHEN num2 THEN 10 ELSE 0 END) + (CASE WHEN unitm THEN 2 ELSE 0 END)
+                 + (CASE WHEN citym THEN 5 ELSE 0 END) + (CASE WHEN parishm THEN 5 ELSE 0 END)
+                 + (CASE WHEN munim THEN 5 ELSE 0 END) + (CASE WHEN postm THEN 5 ELSE 0 END) AS score
+          FROM promoted
+          WHERE (hn OR (st2 AND num2)) AND (citym OR parishm OR postm)
+        ), best AS (
+          SELECT *, min(tier) OVER (PARTITION BY k) AS bt FROM scored
+        ), best2 AS (
+          SELECT *, max(score) OVER (PARTITION BY k) AS bs
+          FROM best WHERE tier = bt
+        )
+        SELECT k AS custkey, round(avg(lat), 4) AS lat, round(avg(lon), 4) AS lon,
+               CAST(max(score) AS INTEGER) AS score, count(*) AS n_tied
+        FROM best2 WHERE score = bs GROUP BY k
+    """,
     "q21_minhash_lsh": _minhash_oracle_sql(
         num_hashes=128, bands=32, shingle_k=3, threshold=0.5, seed=7
     ),
@@ -1147,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_sharp_angles": q26_sharp_angles,
         "q27_correlator": q27_correlator,
         "q28_clean_corpus": q28_clean_corpus,
+        "q29_fuzzy_parse": q29_fuzzy_parse,
+        "q30_fuzzy_geocode": q30_fuzzy_geocode,
     }
 
 

@@ -146,6 +146,9 @@ def test_scene_lone_allowance_and_strong_upgrade(spark):
         strength_expr=tag_strength_expr,
         lone_allowance_expr=lambda df: F.col("elem_tag").isNotNull(),
         lone_strong_match_strength=STRONG,
+        # the reference's upgrade pass is unbounded (Correlator.cs:249-287);
+        # explicit opt-in here because the distributed default bounds it
+        lone_upgrade_unbounded=True,
     )
     res, oracle = run_both(
         spark,
@@ -157,6 +160,42 @@ def test_scene_lone_allowance_and_strong_upgrade(spark):
     assert oracle.matched[1][0] == "x"
     assert oracle.lone_elements == [2]
     assert oracle.unmatched_elements == [3]
+
+
+def test_lone_upgrade_default_is_bounded_radius_join(spark):
+    """Default upgrade pass = radius_join at seek_distance: same result as
+    unbounded when the strong item is in range, and the physical plan has
+    no cartesian product (scale guard)."""
+    e_upgr = dict(elem_id=1, tag="REF9", **dict(zip(("lat", "lon"), at(0, 0))))
+    i_strong = dict(item_id="x", tag="REF9", **dict(zip(("lat", "lon"), at(0, 60))))
+    base = dict(
+        strength_expr=tag_strength_expr,
+        lone_allowance_expr=lambda df: F.col("elem_tag").isNotNull(),
+        lone_strong_match_strength=STRONG,
+    )
+    edf, idf = make_dfs(spark, [e_upgr], [i_strong])
+    bounded = correlate(spark, edf, idf, CorrelatorParams(**base))
+    unbounded = correlate(
+        spark, edf, idf, CorrelatorParams(**base, lone_upgrade_unbounded=True)
+    )
+    b = {(r["item_id"], r["elem_id"]) for r in bounded.matched.collect()}
+    u = {(r["item_id"], r["elem_id"]) for r in unbounded.matched.collect()}
+    assert b == u == {("x", 1)}
+    plan = bounded.matched._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_deferred_acceptance_raises_on_nonconvergence(spark):
+    """max_rounds too small for the displacement chain -> explicit error,
+    never a silently unstable matching (ADVICE r1)."""
+    import pytest
+
+    # chain: items a,b,c all prefer elem 1; each displacement requeues one
+    elems = [dict(elem_id=i, **dict(zip(("lat", "lon"), at(0, i * 10)))) for i in range(1, 4)]
+    items = [dict(item_id=s, **dict(zip(("lat", "lon"), at(0, 1)))) for s in "abc"]
+    edf, idf = make_dfs(spark, elems, items)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        correlate(spark, edf, idf, CorrelatorParams(max_rounds=1))
 
 
 def test_scene_polygon_prefilter(spark):

@@ -1,0 +1,372 @@
+"""Mirrors /root/reference/FuzzyAddressParsingTests/FuzzyAddressParserTests.cs
+case by case, plus distributed parse/geocode coverage."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from osmalyzer_spark.functions.fuzzy_address import (
+    CITY, HIGH, HOUSE, LOW, MUNICIPALITY, PARISH, POSTCODE, STREET,
+    fuzzy_geocode, parse_addresses, parse_fuzzy_address,
+)
+
+
+def by_type(parts, ptype):
+    return [p for p in parts if p.type == ptype]
+
+
+def test_null_raises():
+    with pytest.raises(TypeError):
+        parse_fuzzy_address(None)
+
+
+@pytest.mark.parametrize(
+    "value", ["", " ", "  ", "\t", ",", ",,", " ,", ", ", "  ,  "]
+)
+def test_degenerate_returns_none(value):
+    assert parse_fuzzy_address(value) is None
+
+
+@pytest.mark.parametrize(
+    "value,street,number",
+    [
+        ("Krānu iela 35", "Krānu iela", "35"),
+        ("Īsā iela 1", "Īsā iela", "1"),
+        ("Kr. Krāniņa iela 135", "Kr. Krāniņa iela", "135"),
+    ],
+)
+def test_street_name_and_number(value, street, number):
+    parts = parse_fuzzy_address(value)
+    assert parts is not None and len(parts) == 1
+    p = parts[0]
+    assert p.type == STREET and p.index == 0
+    assert (p.street, p.number, p.confidence) == (street, number, HIGH)
+
+
+def test_two_addresses_in_street_line():
+    parts = parse_fuzzy_address("Krānu iela 35 / Gailīšu aleja 24")
+    assert parts is not None and len(parts) == 2
+    assert all(p.type == STREET and p.index == 0 and p.confidence == HIGH for p in parts)
+    got = sorted((p.street, p.number) for p in parts)
+    assert got == [("Gailīšu aleja", "24"), ("Krānu iela", "35")]
+
+
+@pytest.mark.parametrize(
+    "value,cleaned,conf",
+    [
+        ('"Krāniņi"', "Krāniņi", HIGH),
+        ("Krāniņi", "Krāniņi", LOW),
+        ("Krāniņi 18", "Krāniņi 18", LOW),
+    ],
+)
+def test_house_name(value, cleaned, conf):
+    parts = parse_fuzzy_address(value)
+    assert parts is not None and len(parts) == 1
+    p = parts[0]
+    assert p.type == HOUSE and p.index == 0
+    assert (p.value, p.confidence) == (cleaned, conf)
+
+
+@pytest.mark.parametrize("value", ['""', '" "', '"A"', '"12345"'])
+def test_bad_house_name(value):
+    assert parse_fuzzy_address(value) is None
+
+
+@pytest.mark.parametrize("value", ["Rīga", "Jelgava", "Ludza", "Inčukalns"])
+def test_known_city_name(value):
+    parts = parse_fuzzy_address(value)
+    assert parts is not None and len(parts) == 1
+    p = parts[0]
+    assert p.type == CITY and p.index == 0
+    assert (p.value, p.confidence) == (value, HIGH)
+
+
+@pytest.mark.parametrize(
+    "value,expected,conf",
+    [
+        ("LV-1234", "LV-1234", HIGH),
+        ("LV 1234", "LV-1234", HIGH),
+        ("LV1234", "LV-1234", HIGH),
+        ("1234", "LV-1234", LOW),
+    ],
+)
+def test_postcode(value, expected, conf):
+    parts = parse_fuzzy_address(value)
+    assert parts is not None and len(parts) == 1
+    p = parts[0]
+    assert p.type == POSTCODE and (p.value, p.confidence) == (expected, conf)
+
+
+@pytest.mark.parametrize(
+    "value,street,number,st_idx,city,city_idx",
+    [
+        ("Krānu iela 35, Krāniņmuiža", "Krānu iela", "35", 0, "Krāniņmuiža", 1),
+        ("Krāniņmuiža, Krānu iela 35", "Krānu iela", "35", 1, "Krāniņmuiža", 0),
+    ],
+)
+def test_street_number_and_city(value, street, number, st_idx, city, city_idx):
+    parts = parse_fuzzy_address(value)
+    assert parts is not None and len(parts) == 2
+    sp = by_type(parts, STREET)[0]
+    cp = by_type(parts, CITY)[0]
+    assert (sp.index, sp.street, sp.number) == (st_idx, street, number)
+    assert (cp.index, cp.value) == (city_idx, city)
+
+
+@pytest.mark.parametrize(
+    "value,number",
+    [
+        ("Krānu iela 35", "35"),
+        ("Krānu iela 35A", "35A"),
+        ("Krānu iela 35K", "35K"),
+        ("Krānu iela 35 A", "35A"),
+        ("Krānu iela 35a", "35A"),
+        ("Krānu iela 35k", "35K"),
+        ("Krānu iela 35 a", "35A"),
+        ("Krānu iela 35 k-24", "35 k-24"),
+        ("Krānu iela 35 k24", "35 k-24"),
+        ("Krānu iela 35A k-24", "35A k-24"),
+        ("Krānu iela 35K k-24", "35K k-24"),
+        ("Krānu iela 35k k-24", "35K k-24"),
+        ("Krānu iela 35 A k-24", "35A k-24"),
+        ("Krānu iela 3/5", "3/5"),
+    ],
+)
+def test_street_number_sanitized(value, number):
+    parts = parse_fuzzy_address(value)
+    assert parts is not None and len(parts) == 1
+    p = parts[0]
+    assert p.type == STREET and (p.number, p.confidence) == (number, HIGH)
+
+
+def test_street_name_locative_sanitized():
+    parts = parse_fuzzy_address("Krānu ielā 35")
+    assert parts is not None and len(parts) == 1
+    p = parts[0]
+    assert p.type == STREET and (p.street, p.confidence) == ("Krānu iela", HIGH)
+
+
+def test_ambiguous_street_name_has_fallback():
+    parts = parse_fuzzy_address("Krānu 35")
+    assert parts is not None and len(parts) == 1
+    p = parts[0]
+    assert p.type == HOUSE and (p.value, p.confidence) == ("Krānu 35", LOW)
+    assert len(p.fallbacks) == 1
+    fb = p.fallbacks[0]
+    assert fb.type == STREET
+    assert (fb.street, fb.number, fb.confidence) == ("Krānu iela", "35", LOW)
+
+
+@pytest.mark.parametrize(
+    "value,expected,conf",
+    [
+        ("Limbažu novads", "Limbažu novads", HIGH),
+        ("Ornitoloģijas novads", "Ornitoloģijas novads", LOW),
+        ("Ornitoloģijas nov.", "Ornitoloģijas novads", LOW),
+    ],
+)
+def test_municipality(value, expected, conf):
+    parts = parse_fuzzy_address(value)
+    assert parts is not None and len(parts) == 1
+    p = parts[0]
+    assert p.type == MUNICIPALITY and (p.value, p.confidence) == (expected, conf)
+
+
+@pytest.mark.parametrize(
+    "value,expected,conf",
+    [
+        ("Brenguļu pagasts", "Brenguļu pagasts", HIGH),
+        ("Vistiņu pagasts", "Vistiņu pagasts", LOW),
+        ("Vistiņu pag.", "Vistiņu pagasts", LOW),
+    ],
+)
+def test_parish(value, expected, conf):
+    parts = parse_fuzzy_address(value)
+    assert parts is not None and len(parts) == 1
+    p = parts[0]
+    assert p.type == PARISH and (p.value, p.confidence) == (expected, conf)
+
+
+@pytest.mark.parametrize(
+    "value",
+    [
+        "pagasts", "pag.", "B pagasts", "12345 pagasts", "Nepagasts",
+        "novads", "nov.", "B novads", "12345 novads", "Nenovads",
+    ],
+)
+def test_bad_parish_or_municipality(value):
+    assert parse_fuzzy_address(value) is None
+
+
+def test_full_address_example1():
+    parts = parse_fuzzy_address(
+        "Krānu iela 35, Krāniņmuiža, Vistiņu pagasts, Ornitoloģijas novads, LV-1234"
+    )
+    assert parts is not None and len(parts) == 5
+    assert by_type(parts, STREET)[0].street == "Krānu iela"
+    assert by_type(parts, STREET)[0].number == "35"
+    assert by_type(parts, POSTCODE)[0].value == "LV-1234"
+    assert by_type(parts, CITY)[0].value == "Krāniņmuiža"
+    assert by_type(parts, PARISH)[0].value == "Vistiņu pagasts"
+    assert by_type(parts, MUNICIPALITY)[0].value == "Ornitoloģijas novads"
+
+
+@pytest.mark.parametrize(
+    "value,house",
+    [
+        ('"Krāniņi", Krāniņmuiža, Vistiņu pagasts, Ornitoloģijas novads, LV-1234', "Krāniņi"),
+        ("Krāniņi, Krāniņmuiža, Vistiņu pagasts, Ornitoloģijas novads, LV-1234", "Krāniņi"),
+        ("Krāns 18, Krāniņmuiža, Vistiņu pagasts, Ornitoloģijas novads, LV-1234", "Krāns 18"),
+    ],
+)
+def test_full_address_examples_2_3(value, house):
+    parts = parse_fuzzy_address(value)
+    assert parts is not None and len(parts) == 5
+    assert by_type(parts, HOUSE)[0].value == house
+    assert by_type(parts, POSTCODE)[0].value == "LV-1234"
+    assert by_type(parts, CITY)[0].value == "Krāniņmuiža"
+    assert by_type(parts, PARISH)[0].value == "Vistiņu pagasts"
+    assert by_type(parts, MUNICIPALITY)[0].value == "Ornitoloģijas novads"
+
+
+@pytest.mark.parametrize(
+    "value,street,number,unit",
+    [
+        ("Krānu iela 35-3", "Krānu iela", "35", "3"),
+        ("Krānu iela 35A-3", "Krānu iela", "35A", "3"),
+        ("Krānu iela 35A-3 k-24", "Krānu iela", "35A k-24", "3"),
+    ],
+)
+def test_street_name_number_and_unit(value, street, number, unit):
+    parts = parse_fuzzy_address(value)
+    assert parts is not None and len(parts) == 1
+    p = parts[0]
+    assert p.type == STREET
+    assert (p.street, p.number, p.unit, p.confidence) == (street, number, unit, HIGH)
+
+
+def test_hints_upgrade_and_fallback():
+    # hinted street line on an unparseable split becomes HintedFallback house name
+    parts = parse_fuzzy_address("ab, LV-1234", hints={0: "street_line"})
+    assert parts is not None
+    hp = by_type(parts, HOUSE)[0]
+    assert hp.value == "ab" and hp.confidence == 1  # HINTED_FALLBACK
+    # hinted postcode upgrades Low -> HintedLow
+    parts = parse_fuzzy_address("1234", hints={0: "postcode"})
+    pc = by_type(parts, POSTCODE)[0]
+    assert pc.value == "LV-1234" and pc.confidence == 2  # HINTED_LOW
+
+
+# ---------------------------------------------------------------------------
+# distributed surface
+# ---------------------------------------------------------------------------
+
+
+def test_parse_addresses_dataframe(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "Krānu iela 35, Rīga, LV-1234"),
+            (2, '"Krāniņi", Brenguļu pagasts'),
+            (3, ",,"),
+        ],
+        "addr_id long, addr string",
+    )
+    parts = parse_addresses(df, "addr_id", "addr").collect()
+    got = {(r["addr_id"], r["part_type"]) for r in parts}
+    assert (1, STREET) in got and (1, CITY) in got and (1, POSTCODE) in got
+    assert (2, HOUSE) in got and (2, PARISH) in got
+    assert all(r["addr_id"] != 3 for r in parts)
+
+
+def _addressables(spark):
+    rows = [
+        # elem, lat, lon, house, street, number, unit, city, parish, muni, post, old_hn, old_st, old_num, old_unit
+        (10, 56.95, 24.10, None, "Krānu iela", "35", None, "Rīga", None, None, "LV-1234", None, None, None, None),
+        (11, 56.96, 24.11, None, "Krānu iela", "35", None, "Rīga", None, None, None, None, None, None, None),
+        (12, 57.50, 25.40, "Krāniņi", None, None, None, None, "Brenguļu pagasts", "Valmieras novads", "LV-4247", None, None, None, None),
+        (13, 56.50, 21.00, None, "Krānu iela", "35", None, "Liepāja", None, None, "LV-3401", None, None, None, None),
+        # old-address element: renamed street
+        (14, 56.70, 23.70, None, "Jaunā iela", "8", None, "Jelgava", None, None, "LV-3001", None, "Vecā iela", "8", None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "elem_id long, lat double, lon double, house_name string, street string, "
+        "number string, unit string, city string, parish string, municipality string, "
+        "postcode string, old_house_name string, old_street string, old_number string, "
+        "old_unit string",
+    )
+
+
+def test_fuzzy_geocode_basic(spark):
+    addrs = spark.createDataFrame(
+        [
+            (1, "Krānu iela 35, Rīga, LV-1234"),  # elem 10 (postcode) over 11
+            (2, '"Krāniņi", Brenguļu pagasts'),  # elem 12
+            (3, "Krānu iela 35, Liepāja"),  # elem 13
+            (4, "Vecā iela 8, Jelgava"),  # elem 14 via old_addr
+        ],
+        "addr_id long, addr string",
+    )
+    parsed = parse_addresses(addrs, "addr_id", "addr")
+    out = {r["addr_id"]: r for r in fuzzy_geocode(parsed, _addressables(spark)).collect()}
+    # addr 1: elem 10 scores street+number+city+postcode=30, elem 11 misses postcode=25
+    assert out[1]["lat"] == pytest.approx(56.95) and out[1]["n_tied"] == 1
+    assert out[2]["lat"] == pytest.approx(57.50)
+    assert out[3]["lat"] == pytest.approx(56.50)
+    # old-street match: halved street/number scores but still found
+    assert out[4]["lat"] == pytest.approx(56.70)
+
+
+def test_fuzzy_geocode_tie_averages(spark):
+    addressables = spark.createDataFrame(
+        [
+            (1, 56.0, 24.0, None, "Liepu iela", "2", None, "Ludza", None, None, None, None, None, None, None),
+            (2, 58.0, 26.0, None, "Liepu iela", "2", None, "Ludza", None, None, None, None, None, None, None),
+        ],
+        "elem_id long, lat double, lon double, house_name string, street string, "
+        "number string, unit string, city string, parish string, municipality string, "
+        "postcode string, old_house_name string, old_street string, old_number string, "
+        "old_unit string",
+    )
+    addrs = spark.createDataFrame([(7, "Liepu iela 2, Ludza")], "addr_id long, addr string")
+    parsed = parse_addresses(addrs, "addr_id", "addr")
+    out = fuzzy_geocode(parsed, addressables).collect()[0]
+    assert out["n_tied"] == 2
+    assert out["lat"] == pytest.approx(57.0) and out["lon"] == pytest.approx(25.0)
+
+
+def test_fuzzy_geocode_min_requirements(spark):
+    # street+number alone (no city/parish/postcode) must NOT geocode
+    addrs = spark.createDataFrame([(9, "Krānu iela 35")], "addr_id long, addr string")
+    parsed = parse_addresses(addrs, "addr_id", "addr")
+    assert fuzzy_geocode(parsed, _addressables(spark)).count() == 0
+
+
+def test_fuzzy_geocode_region_tier_preference(spark):
+    """A single high-confidence parish restricts candidates to that parish
+    tier even when a same-score candidate exists elsewhere."""
+    addressables = spark.createDataFrame(
+        [
+            (1, 56.0, 24.0, None, "Ozolu iela", "4", None, None, "Brenguļu pagasts", None, "LV-1111", None, None, None, None),
+            (2, 58.0, 26.0, None, "Ozolu iela", "4", None, None, "Mālpils pagasts", None, "LV-1111", None, None, None, None),
+        ],
+        "elem_id long, lat double, lon double, house_name string, street string, "
+        "number string, unit string, city string, parish string, municipality string, "
+        "postcode string, old_house_name string, old_street string, old_number string, "
+        "old_unit string",
+    )
+    addrs = spark.createDataFrame(
+        [(5, "Ozolu iela 4, Brenguļu pagasts, LV-1111")], "addr_id long, addr string"
+    )
+    parsed = parse_addresses(addrs, "addr_id", "addr")
+    out = fuzzy_geocode(parsed, addressables).collect()[0]
+    assert out["n_tied"] == 1 and out["lat"] == pytest.approx(56.0)
+
+
+def test_fuzzy_geocode_no_cartesian_product(spark):
+    """Candidate generation is equi-join only — scale guard."""
+    parsed = parse_addresses(
+        spark.createDataFrame([(1, "Krānu iela 35, Rīga")], "addr_id long, addr string"),
+        "addr_id", "addr",
+    )
+    plan = fuzzy_geocode(parsed, _addressables(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
