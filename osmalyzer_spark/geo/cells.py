@@ -68,6 +68,35 @@ def cell_id_sql(lat: str, lon: str, cell_deg: float) -> str:
     )
 
 
+def checked_cell_id_expr(
+    lat, lon, cell_deg: float, max_abs_lat_deg: float
+) -> Column:
+    """cell_id_expr plus a runtime extent assertion.
+
+    The flat-stride neighbor ring wraps incorrectly across the ±180
+    antimeridian (ix under/overflow lands in the adjacent row), and
+    cell_deg_for_radius sizes cells for a maximum |latitude| — beyond it
+    the 3x3 ring can silently miss in-radius pairs. Rather than return
+    wrong answers, points outside the supported extent fail the job with
+    an explicit error naming the bound.
+    """
+    bad = (F.abs(_c(lat)) > F.lit(float(max_abs_lat_deg))) | (
+        F.abs(_c(lon)) > F.lit(180.0 - cell_deg)
+    )
+    msg = F.format_string(
+        "coordinate outside supported cell-index extent "
+        f"(|lat| <= {max_abs_lat_deg!r}, |lon| <= 180-cell_deg): lat=%s lon=%s "
+        "— raise max_abs_lat_deg or pre-filter the input",
+        _c(lat).cast("string"),
+        _c(lon).cast("string"),
+    )
+    # assert_true evaluates per row (returns NULL when the condition
+    # holds), so gating the cell id on it keeps the check in the plan
+    return F.when(
+        F.assert_true(~bad, msg).isNull(), cell_id_expr(lat, lon, cell_deg)
+    )
+
+
 def neighbor_cells_expr(cell_id, ring: int = 1) -> Column:
     """array<long> of the (2*ring+1)^2 neighbor cell ids around cell_id.
 

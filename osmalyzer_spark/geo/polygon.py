@@ -310,3 +310,31 @@ def overlap_coverage_udf(epsilon_m: float = 10.0, max_samples: int = 300):
         return pd.Series(out)
 
     return _cov
+
+
+def read_poly_text(text: str) -> np.ndarray:
+    """Osmosis `.poly` text -> (n, 2) array of (lat, lon).
+
+    Mirrors OsmPolygon.cs:19-44's "complete assumption about the file
+    structure": line 0 = name, line 1 = section id, last two lines = END
+    markers; every line in between is "<lon> <lat>" in scientific
+    notation (the reference writes lon first).
+    """
+    lines = [ln for ln in text.splitlines()]
+    coords = []
+    for line in lines[2:-2]:
+        parts = line.split()
+        coords.append((float(parts[1]), float(parts[0])))
+    return np.array(coords, dtype=float)
+
+
+def write_poly_text(coords) -> str:
+    """(lat, lon) sequence -> Osmosis `.poly` text (OsmPolygon.cs:138-152):
+    "none"/"1" header, one "<lon:E> <lat:E>" line per vertex, END END.
+    Python's %E prints 2-digit exponents where C# prints 3 — both parse
+    back identically."""
+    out = ["none", "1"]
+    for lat, lon in np.asarray(coords, dtype=float):
+        out.append(f"{lon:.6E} {lat:.6E}")
+    out += ["END", "END"]
+    return "\n".join(out) + "\n"

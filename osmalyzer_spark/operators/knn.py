@@ -47,11 +47,17 @@ def radius_join(
     max_abs_lat_deg: float = 60.0,
     broadcast_probe: bool = False,
     salt: "SaltSpec | None" = None,
+    validate_extent: bool = True,
 ) -> DataFrame:
     """All (probe, build) pairs within `radius_m` meters.
 
     Column names of the two inputs must be disjoint (callers prefix, e.g.
     item_* / elem_*). Output = probe columns + build columns + dist_col.
+
+    Points beyond |max_abs_lat_deg| latitude or adjacent to the ±180
+    antimeridian are OUTSIDE the cell index's supported extent (ring
+    candidates would be silently incomplete there): with validate_extent
+    they fail the job explicitly instead.
     """
     plat, plon = probe_coords
     blat, blon = build_coords
@@ -60,10 +66,19 @@ def radius_join(
         raise ValueError(f"probe/build column collision: {sorted(overlap)}")
 
     cell_deg = cell_deg_for_radius(radius_m, max_abs_lat_deg)
+    if validate_extent:
+        from osmalyzer_spark.geo.cells import checked_cell_id_expr
+
+        def cid(la, lo):
+            return checked_cell_id_expr(la, lo, cell_deg, max_abs_lat_deg)
+    else:
+        def cid(la, lo):
+            return cell_id_expr(la, lo, cell_deg)
+
     p = probe.withColumn(
-        "__cell", F.explode(neighbor_cells_expr(cell_id_expr(plat, plon, cell_deg)))
+        "__cell", F.explode(neighbor_cells_expr(cid(plat, plon)))
     )
-    b = build.withColumn("__cell", cell_id_expr(blat, blon, cell_deg))
+    b = build.withColumn("__cell", cid(blat, blon))
 
     if salt is not None:
         pairs = salt.salted_join(p, b, build_id_hint=build.columns[0])

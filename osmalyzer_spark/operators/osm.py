@@ -141,17 +141,27 @@ def double_mapped_features(
     pairs = n.join(a, ["__cell"]).filter(F.col(class_col) == F.col("area_class"))
 
     @F.pandas_udf(T.BooleanType())
-    def inside_ring(lat: pd.Series, lon: pd.Series, ring: pd.Series) -> pd.Series:
+    def inside_ring(
+        lat: pd.Series, lon: pd.Series, area_id: pd.Series, ring: pd.Series
+    ) -> pd.Series:
         from osmalyzer_spark.geo.polygon import ring_contains
 
+        # candidate pairs arrive many-nodes-per-area: decode each ring
+        # ONCE per area in the batch and ray-cast all its nodes in one
+        # vectorized call, instead of per-row python
         out = np.zeros(len(lat), dtype=bool)
-        for i in range(len(lat)):
-            r = np.array([[p["lat"], p["lon"]] for p in ring.iloc[i]])
-            out[i] = ring_contains(np.array([lat.iloc[i]]), np.array([lon.iloc[i]]), r)[0]
+        la, lo = lat.to_numpy(), lon.to_numpy()
+        groups: dict = {}
+        for i, aid in enumerate(area_id):
+            groups.setdefault(aid, []).append(i)
+        for idxs in groups.values():
+            pos = np.asarray(idxs)
+            r = np.array([[p["lat"], p["lon"]] for p in ring.iloc[pos[0]]])
+            out[pos] = ring_contains(la[pos], lo[pos], r)
         return pd.Series(out)
 
     return (
-        pairs.withColumn("inside", inside_ring("lat", "lon", "ring"))
+        pairs.withColumn("inside", inside_ring("lat", "lon", "area_id", "ring"))
         .filter(F.col("inside"))
         .select("node_id", "area_id", class_col)
         .dropDuplicates(["node_id", "area_id"])

@@ -418,14 +418,19 @@ def q21_minhash_lsh(spark, sf_dir):
 
 def q22_simhash(spark, sf_dir):
     """Dedup: 64-bit SimHash fingerprints (md5-lower-64 token hash), the
-    COMPLETE near-pair set at hamming <= 8 via 9-band buckets (pigeonhole:
-    bands >= max_hamming+1) + native bit_count verify. Oracle: brute-force
-    O(n^2) bit_count(xor) in DuckDB over SQL-recomputed fingerprints."""
+    COMPLETE near-pair set at hamming <= 3 via 4x16-bit band buckets
+    (pigeonhole: bands >= max_hamming+1, enforced) + native bit_count
+    verify. hamming<=3 on 64 bits is the scale-sane operating point: 16-bit
+    bands have 65536 bucket values, so collision counts stay linear; wider
+    hamming thresholds need narrower bands whose bucket collisions grow
+    quadratically (the operator supports them, callers pay knowingly).
+    Oracle: brute-force O(n^2) bit_count(xor) over SQL-recomputed
+    fingerprints."""
     from osmalyzer_spark.operators.dedup import simhash_fingerprints, simhash_near_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_pairs(
-        simhash_fingerprints(docs, "doc_id", "text"), max_hamming=8, bands=9
+        simhash_fingerprints(docs, "doc_id", "text"), max_hamming=3, bands=4
     ).withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
 
 
@@ -637,6 +642,40 @@ def q30_fuzzy_geocode(spark, sf_dir):
         F.col("score").cast("int").alias("score"),
         "n_tied",
     )
+
+
+def q31_opening_hours(spark, sf_dir):
+    """W4 real semantics: merge sequential same-time weekday lines into
+    day ranges (OsmOpeningHoursHelper.cs) — native F.aggregate fold over
+    template-derived line arrays; oracle enumerates the expected merge
+    per template."""
+    from osmalyzer_spark.functions.opening_hours import merge_weekday_lines
+
+    c = _t(spark, sf_dir, "customer")
+    h = F.concat(
+        F.lit("08:00-"), ((F.col("c_custkey") % 8) + 10).cast("string"), F.lit(":00")
+    )
+    t = F.col("c_custkey") % 6
+    lines = (
+        F.when(t == 0, F.array(
+            F.concat(F.lit("Mo "), h), F.concat(F.lit("Tu "), h), F.concat(F.lit("We "), h)
+        ))
+        .when(t == 1, F.array(
+            F.lit("Tu 08:00-12:00"), F.lit("We 09:00-13:00"), F.lit("Th 09:00-13:00")
+        ))
+        .when(t == 2, F.array(F.lit("Sa Off"), F.lit("Su Off")))
+        .when(t == 3, F.array(
+            F.lit("Sep-May Mo 08:00-12:00"), F.lit("Sep-May Tu 08:00-12:00")
+        ))
+        .when(t == 4, F.array(
+            F.concat(F.lit("Mo-Tu "), h), F.concat(F.lit("We "), h), F.concat(F.lit("Fr "), h)
+        ))
+        .otherwise(F.array(F.lit("Tu 08:00-12:00"), F.lit("Th 08:00-12:00")))
+    )
+    merged = c.select(
+        F.col("c_custkey").alias("custkey"), merge_weekday_lines(lines).alias("m")
+    )
+    return merged.select("custkey", F.posexplode("m").alias("pos", "line"))
 
 
 def q20_route_variants(spark, sf_dir):
@@ -1174,6 +1213,24 @@ _ORACLES: dict[str, str] = {
                CAST(max(score) AS INTEGER) AS score, count(*) AS n_tied
         FROM best2 WHERE score = bs GROUP BY k
     """,
+    # Expected weekday-range merges per line-array template.
+    "q31_opening_hours": """
+        WITH c AS (
+          SELECT c_custkey AS k, c_custkey % 6 AS t,
+                 '08:00-' || CAST(c_custkey % 8 + 10 AS STRING) || ':00' AS h
+          FROM customer
+        )
+        SELECT k AS custkey, 0 AS pos, 'Mo-We ' || h AS line FROM c WHERE t = 0
+        UNION ALL SELECT k, 0, 'Tu 08:00-12:00' FROM c WHERE t = 1
+        UNION ALL SELECT k, 1, 'We-Th 09:00-13:00' FROM c WHERE t = 1
+        UNION ALL SELECT k, 0, 'Sa-Su Off' FROM c WHERE t = 2
+        UNION ALL SELECT k, 0, 'Sep-May Mo 08:00-12:00' FROM c WHERE t = 3
+        UNION ALL SELECT k, 1, 'Sep-May Tu 08:00-12:00' FROM c WHERE t = 3
+        UNION ALL SELECT k, 0, 'Mo-We ' || h FROM c WHERE t = 4
+        UNION ALL SELECT k, 1, 'Fr ' || h FROM c WHERE t = 4
+        UNION ALL SELECT k, 0, 'Tu 08:00-12:00' FROM c WHERE t = 5
+        UNION ALL SELECT k, 1, 'Th 08:00-12:00' FROM c WHERE t = 5
+    """,
     "q21_minhash_lsh": _minhash_oracle_sql(
         num_hashes=128, bands=32, shingle_k=3, threshold=0.5, seed=7
     ),
@@ -1288,7 +1345,7 @@ _ORACLES: dict[str, str] = {
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     "q26_sharp_angles": f"""
         WITH pts AS (
@@ -1357,6 +1414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_clean_corpus": q28_clean_corpus,
         "q29_fuzzy_parse": q29_fuzzy_parse,
         "q30_fuzzy_geocode": q30_fuzzy_geocode,
+        "q31_opening_hours": q31_opening_hours,
     }
 
 

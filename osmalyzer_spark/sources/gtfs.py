@@ -47,6 +47,64 @@ def read_gtfs_stops(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_gtfs_routes(spark: SparkSession, path: str) -> DataFrame:
+    """routes.txt -> (route_id, name, number, vehicle_type).
+
+    Mirrors GTFSRoutes.cs:14-107: first occurrence wins on duplicate ids;
+    the vehicle type comes from the id's second underscore segment
+    ("riga_bus_60" -> bus), defaulting to bus when the id has no
+    segments; unknown raw types map to NULL (the reference throws — a
+    filterable NULL is the distributed-friendly equivalent).
+    """
+    raw = spark.read.csv(path, header=True, multiLine=True, quote='"', escape='"')
+    seg = F.split(F.col("route_id"), "_")
+    vtype = F.when(F.size(seg) == 1, F.lit("bus")).otherwise(
+        F.element_at(
+            F.create_map(
+                F.lit("bus"), F.lit("bus"),
+                F.lit("nightbus"), F.lit("nightbus"),
+                F.lit("trol"), F.lit("trolleybus"),
+                F.lit("tram"), F.lit("tram"),
+                F.lit("minibus"), F.lit("minibus"),
+            ),
+            F.element_at(seg, 2),
+        )
+    )
+    w = Window.partitionBy("route_id").orderBy(F.monotonically_increasing_id())
+    return (
+        raw.select(
+            "route_id",
+            F.col("route_long_name").alias("name"),
+            F.col("route_short_name").alias("number"),
+            vtype.alias("vehicle_type"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def read_gtfs_services(spark: SparkSession, path: str) -> DataFrame:
+    """calendar.txt -> (service_id, monday..sunday booleans, start_date,
+    end_date). The reference keeps only the id (GTFSServices.cs:15-48);
+    the weekday/date columns ride along since the CSV carries them and
+    route-day filtering needs them. First occurrence wins on dup ids."""
+    raw = spark.read.csv(path, header=True, multiLine=True, quote='"', escape='"')
+    days = ["monday", "tuesday", "wednesday", "thursday", "friday", "saturday", "sunday"]
+    w = Window.partitionBy("service_id").orderBy(F.monotonically_increasing_id())
+    return (
+        raw.select(
+            "service_id",
+            *[(F.col(d) == "1").alias(d) for d in days],
+            F.to_date("start_date", "yyyyMMdd").alias("start_date"),
+            F.to_date("end_date", "yyyyMMdd").alias("end_date"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def read_gtfs_trips(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.csv(path, header=True, multiLine=True, quote='"', escape='"')
     return raw.select("trip_id", "route_id", "service_id")
@@ -145,11 +203,19 @@ def score_route_matches(
     deferred-acceptance skeleton as the correlator.
     """
     from osmalyzer_spark.operators.correlator import deferred_acceptance
+    from osmalyzer_spark.operators.knn import radius_join
 
-    pairs = variants.crossJoin(osm_routes).filter(
-        haversine_m("centroid_lat", "centroid_lon", "centroid_lat2", "centroid_lon2")
-        <= centroid_prefilter_m
-    )
+    # cell-bucketed centroid prefilter: equi-join, never a crossJoin —
+    # the 50 km gate stays semantically identical (radius_join is an
+    # exact <=-radius filter after the cell-ring candidate join)
+    pairs = radius_join(
+        variants,
+        osm_routes,
+        centroid_prefilter_m,
+        probe_coords=("centroid_lat", "centroid_lon"),
+        build_coords=("centroid_lat2", "centroid_lon2"),
+        dist_col="__centroid_dist_m",
+    ).drop("__centroid_dist_m")
     # positional score, all native: for each variant stop i, the best
     # name-matched osm stop j contributes 1 - |i - j| / n
     n = F.greatest(F.size("stops"), F.size("stops2"))
