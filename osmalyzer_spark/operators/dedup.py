@@ -144,19 +144,21 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    exploded = sigs.select("id", "sig", F.posexplode(band_keys).alias("band", "key"))
-    a = exploded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
-    )
-    b = exploded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key"
-    )
-    cand = (
+    # band join ships only (id, band, key) — the wide signatures are
+    # re-joined by id AFTER candidate dedup, cutting the candidate-stage
+    # shuffle bytes by ~bands x sig-width
+    exploded = sigs.select("id", F.posexplode(band_keys).alias("band", "key"))
+    a = exploded.select(F.col("id").alias("id_a"), "band", "key")
+    b = exploded.select(F.col("id").alias("id_b"), "band", "key")
+    cand_ids = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = cand_ids.join(sa, "id_a").join(sb, "id_b")
     est = (
         F.aggregate(
             F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

@@ -159,6 +159,88 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_assignments_col(
+    vec_col: str, cent_ids: np.ndarray, cent_q: np.ndarray, nprobe: int
+):
+    """array<long> of the nprobe nearest centroid ids (ascending exact
+    integer quantized L2; ties by centroid id). One matmul per batch."""
+    sq_c = (cent_q * cent_q).sum(axis=1)
+
+    @F.pandas_udf("array<long>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vecs), dtype=np.float64)
+        q = np.floor(mat * QUANT).astype(np.int64)
+        d = (q * q).sum(axis=1, keepdims=True) - 2 * (q @ cent_q.T) + sq_c[None, :]
+        # stable argsort + id-ascending columns == tie-break by centroid id
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(cent_ids[order]))
+
+    return assign(F.col(vec_col))
+
+
+def cosine_topk_ivf(
+    candidates: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse quantizer buckets + exact cosine rerank.
+
+    The centroid set here is DETERMINISTIC — the rows with id <
+    n_centroids (quantized like the signatures) — so assignment is an
+    exact integer argmin reproducible in plain SQL for the oracle gate;
+    a production deployment swaps in k-means centroids, and every other
+    stage (broadcast assignment matmul, inverted-list bucket join,
+    exact rerank) is unchanged. Candidates land in their single nearest
+    list; probes search their nprobe nearest lists. Output schema
+    matches the brute-force/LSH paths: (probe_id, cand_id, cosine, rank).
+    """
+    cent_rows = sorted(
+        candidates.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).collect(),
+        key=lambda r: r[id_col],
+    )
+    cent_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
+    cent_q = np.floor(
+        np.array([r[vec_col] for r in cent_rows], dtype=np.float64) * QUANT
+    ).astype(np.int64)
+
+    c = candidates.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cand_v"),
+        F.element_at(ivf_assignments_col(vec_col, cent_ids, cent_q, 1), 1).alias("cid"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_v"),
+        F.explode(ivf_assignments_col(vec_col, cent_ids, cent_q, nprobe)).alias("cid"),
+    )
+    dot = F.aggregate(
+        F.zip_with("probe_v", "cand_v", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(col, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda a, x: a + x)
+    )
+    pairs = (
+        c.join(F.broadcast(p), "cid")
+        .filter(F.col("probe_id") != F.col("cand_id"))
+        .dropDuplicates(["probe_id", "cand_id"])
+        .withColumn("cosine", dot / (norm(F.col("probe_v")) * norm(F.col("cand_v"))))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.98,

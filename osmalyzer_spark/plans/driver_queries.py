@@ -644,6 +644,17 @@ def q30_fuzzy_geocode(spark, sf_dir):
     )
 
 
+def q32_ivf_ann(spark, sf_dir):
+    """ANN scale path 2 (IVF): deterministic coarse-quantizer buckets
+    (exact integer-quantized L2 assignment) + nprobe list search + exact
+    cosine rerank; oracle replays the assignment and search in SQL."""
+    from osmalyzer_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_ivf(emb, probes, k=3, n_centroids=16, nprobe=3)
+
+
 def q31_opening_hours(spark, sf_dir):
     """W4 real semantics: merge sequential same-time weekday lines into
     day ranges (OsmOpeningHoursHelper.cs) — native F.aggregate fold over
@@ -1231,6 +1242,47 @@ _ORACLES: dict[str, str] = {
         UNION ALL SELECT k, 0, 'Tu 08:00-12:00' FROM c WHERE t = 5
         UNION ALL SELECT k, 1, 'Th 08:00-12:00' FROM c WHERE t = 5
     """,
+    # IVF replay: quantized vectors, exact-integer L2 to the centroid set
+    # (vec_id < 16), rank lists by (dist, cid); candidates keep rank 1,
+    # probes search ranks <= 3; exact cosine rerank top-3. list_dot_product
+    # over the quantized doubles is exact: every intermediate < 2^53.
+    "q32_ivf_ann": f"""
+        WITH q AS ({_quantized_emb_cte()}),
+        cent AS (
+          SELECT vec_id AS cid, CAST(qv AS DOUBLE[]) AS cqv FROM q WHERE vec_id < 16
+        ), asg AS (
+          SELECT q.vec_id, cent.cid,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(CAST(q.qv AS DOUBLE[]), CAST(q.qv AS DOUBLE[]))
+                            - 2 * list_dot_product(CAST(q.qv AS DOUBLE[]), cent.cqv)
+                            + list_dot_product(cent.cqv, cent.cqv) ASC,
+                            cent.cid ASC) AS rn
+          FROM q CROSS JOIN cent
+        ), cand AS (
+          SELECT a.vec_id AS cand_id, a.cid, q.v
+          FROM asg a JOIN q ON q.vec_id = a.vec_id WHERE a.rn = 1
+        ), pr AS (
+          SELECT a.vec_id AS probe_id, a.cid, q.v
+          FROM asg a JOIN q ON q.vec_id = a.vec_id
+          WHERE a.rn <= 3 AND a.vec_id < 20
+        ), pairs AS (
+          SELECT DISTINCT pr.probe_id, cand.cand_id, pr.v AS pv, cand.v AS cv
+          FROM pr JOIN cand ON pr.cid = cand.cid AND pr.probe_id <> cand.cand_id
+        ), ranked AS (
+          SELECT probe_id, cand_id,
+                 list_dot_product(pv, cv)
+                   / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) AS cos,
+                 row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY list_dot_product(pv, cv)
+                            / (sqrt(list_dot_product(pv, pv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                            cand_id ASC) AS rank
+          FROM pairs
+        )
+        SELECT probe_id, cand_id, round(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= 3
+    """,
     "q21_minhash_lsh": _minhash_oracle_sql(
         num_hashes=128, bands=32, shingle_k=3, threshold=0.5, seed=7
     ),
@@ -1415,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_fuzzy_parse": q29_fuzzy_parse,
         "q30_fuzzy_geocode": q30_fuzzy_geocode,
         "q31_opening_hours": q31_opening_hours,
+        "q32_ivf_ann": q32_ivf_ann,
     }
 
 

@@ -205,3 +205,28 @@ def test_clean_corpus_pipeline(spark, docs):
     assert 20 in ids and 200 not in ids
     for i in range(10):
         assert i in ids and (100 + i) not in ids
+
+
+def test_cosine_ivf_recall(spark, emb):
+    """IVF with enough probes must recover the planted near-identical
+    neighbor as top-1 (its vector lands in the same centroid list)."""
+    from osmalyzer_spark.operators.similarity import cosine_topk_ivf
+
+    probes = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    got = cosine_topk_ivf(emb, probes, k=2, n_centroids=8, nprobe=8)
+    top1 = {r["probe_id"]: r["cand_id"] for r in got.collect() if r["rank"] == 1}
+    assert top1 == {0: 300, 1: 301, 2: 302}
+
+
+def test_cosine_ivf_subset_of_bruteforce(spark, emb):
+    """Every IVF hit must agree in cosine with the exact ranking source."""
+    from osmalyzer_spark.operators.similarity import cosine_topk_ivf
+
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["probe_id"], r["cand_id"]): r["cosine"]
+        for r in cosine_topk_bruteforce(emb, probes, k=64).collect()
+    }
+    ivf = cosine_topk_ivf(emb, probes, k=3, n_centroids=8, nprobe=2).collect()
+    for r in ivf:
+        assert exact[(r["probe_id"], r["cand_id"])] == pytest.approx(r["cosine"], abs=1e-6)
