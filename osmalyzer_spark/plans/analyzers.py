@@ -163,6 +163,65 @@ def cultural_monument_analyzer(
     return correlate(spark, slim, items, params)
 
 
+def addressables_from_elements(elements: DataFrame) -> DataFrame:
+    """OSM elements -> the finder's addressables table
+    (FuzzyAddressFinder.cs:227-330: filter HasKey('ref:LV:addr'), project
+    the addr:*/old_addr:* tag values)."""
+    tag_map = {
+        "house_name": "addr:housename",
+        "street": "addr:street",
+        "number": "addr:housenumber",
+        "unit": "addr:unit",
+        "city": "addr:city",
+        "parish": "addr:subdistrict",
+        "municipality": "addr:district",
+        "postcode": "addr:postcode",
+        "old_house_name": "old_addr:housename",
+        "old_street": "old_addr:street",
+        "old_number": "old_addr:housenumber",
+        "old_unit": "old_addr:unit",
+    }
+    return elements.filter(has_key("tags", "ref:LV:addr")).select(
+        F.col("elem_id"),
+        F.col("elem_lat").alias("lat"),
+        F.col("elem_lon").alias("lon"),
+        *[get_value("tags", t).alias(name) for name, t in tag_map.items()],
+    )
+
+
+def address_geocode_analyzer(
+    spark: SparkSession,
+    elements: DataFrame,
+    items: DataFrame,
+    id_col: str = "item_id",
+    addr_col: str = "item_address",
+) -> DataFrame:
+    """The reference's address-bearing analyzer flow (banks, parcel
+    lockers, shop validation): freeform item addresses are parsed by the
+    fuzzy lattice and geocoded against the OSM addressables — items that
+    geocode get a coordinate (+ match score); the rest are reported
+    ungeocodable. Output: (item_id, kind, lat, lon, score)."""
+    from osmalyzer_spark.functions.fuzzy_address import fuzzy_geocode, parse_addresses
+
+    addressables = addressables_from_elements(elements)
+    parsed = parse_addresses(items, id_col, addr_col)
+    hits = fuzzy_geocode(parsed, addressables).select(
+        F.col("addr_id").alias(id_col),
+        F.lit("geocoded").alias("kind"),
+        "lat",
+        "lon",
+        F.col("score").cast("int").alias("score"),
+    )
+    misses = items.join(hits.select(id_col), id_col, "left_anti").select(
+        F.col(id_col),
+        F.lit("ungeocodable").alias("kind"),
+        F.lit(None).cast("double").alias("lat"),
+        F.lit(None).cast("double").alias("lon"),
+        F.lit(None).cast("int").alias("score"),
+    )
+    return hits.unionByName(misses)
+
+
 def street_name_groups(elements: DataFrame) -> DataFrame:
     """StreetNameAnalyzer's grouping (A1): elements grouped by addr:street
     value with counts and member ids, ordered by size."""

@@ -751,26 +751,32 @@ def _minhash_oracle_sql(
           FROM w, (SELECT unnest(range(1, 1000000)) AS si) g
           WHERE si <= greatest(len(words) - {shingle_k - 1}, 1)
         ),
-        sigs AS (
+        sigs AS MATERIALIZED (
           SELECT doc_id, pi,
                  min(CAST((((pa_hi * h) % 4294967296 * 4294967296 + pa_lo * h + pb)
                            % 18446744073709551616) // 2 AS BIGINT)) AS v
           FROM sh, perms GROUP BY doc_id, pi
         ),
-        bd AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pi // {r} AS band,
-                 sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS n_eq_band
-          FROM sigs a JOIN sigs b ON a.pi = b.pi AND a.doc_id < b.doc_id
-          GROUP BY 1, 2, 3
+        bandvals AS MATERIALIZED (
+          SELECT doc_id, pi // {r} AS band, list(v ORDER BY pi) AS bv
+          FROM sigs GROUP BY doc_id, pi // {r}
         ),
-        ps AS (
-          SELECT id_a, id_b, sum(n_eq_band) AS n_eq,
-                 max(CASE WHEN n_eq_band = {r} THEN 1 ELSE 0 END) AS collide
-          FROM bd GROUP BY 1, 2
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bandvals a JOIN bandvals b
+            ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ),
+        eq AS (
+          SELECT c.id_a, c.id_b,
+                 sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) AS n_eq
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.id_a
+          JOIN sigs sb ON sb.doc_id = c.id_b AND sb.pi = sa.pi
+          GROUP BY 1, 2
         )
         SELECT id_a, id_b, round(n_eq / {float(num_hashes)!r}, 4) AS est_jaccard
-        FROM ps
-        WHERE collide = 1 AND n_eq / {float(num_hashes)!r} >= {threshold!r}
+        FROM eq
+        WHERE n_eq / {float(num_hashes)!r} >= {threshold!r}
     """
 
 
@@ -895,18 +901,18 @@ def _clean_corpus_oracle_sql(
                      + 0.2e0 * (CASE WHEN punct_r <= 0.2e0 THEN 1.0e0 ELSE 0.4e0 END), 4) AS quality
           FROM q_stats
         ),
-        quality_docs AS (
+        quality_docs AS MATERIALIZED (
           SELECT doc_id, text, words FROM quality WHERE quality >= {min_quality!r}
         ),
         grouped AS (
           SELECT list_sort(list_distinct(words)) AS toks, min(doc_id) AS keep_id
           FROM quality_docs GROUP BY 1
         ),
-        exact_docs AS (
+        exact_docs AS MATERIALIZED (
           SELECT q.doc_id, q.text FROM quality_docs q
           JOIN grouped g ON q.doc_id = g.keep_id
         ),
-        mh_pairs AS ({minhash_q}),
+        mh_pairs AS MATERIALIZED ({minhash_q}),
         edges AS (
           SELECT id_a AS src, id_b AS dst FROM mh_pairs
           UNION ALL SELECT id_b, id_a FROM mh_pairs
@@ -916,8 +922,8 @@ def _clean_corpus_oracle_sql(
           UNION
           SELECT e.dst AS node, r.root FROM reach r JOIN edges e ON e.src = r.node
         ),
-        comp AS (SELECT node, min(root) AS component FROM reach GROUP BY node),
-        counts AS (
+        comp AS MATERIALIZED (SELECT node, min(root) AS component FROM reach GROUP BY node),
+        counts AS MATERIALIZED (
           SELECT (SELECT count(*) FROM documents) AS n_input,
                  (SELECT count(*) FROM quality_docs) AS n_quality,
                  (SELECT count(*) FROM exact_docs) AS n_exact,

@@ -370,3 +370,37 @@ def test_fuzzy_geocode_no_cartesian_product(spark):
     )
     plan = fuzzy_geocode(parsed, _addressables(spark))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_address_geocode_analyzer(spark):
+    """Analyzer-layer flow: OSM elements with ref:LV:addr + addr tags form
+    the addressables; freeform item addresses geocode against them."""
+    from osmalyzer_spark.plans.analyzers import (
+        address_geocode_analyzer, addressables_from_elements,
+    )
+
+    elements = spark.createDataFrame(
+        [
+            (1, 56.95, 24.10, {"ref:LV:addr": "100", "addr:street": "Krānu iela",
+                               "addr:housenumber": "35", "addr:city": "Rīga"}),
+            (2, 57.50, 25.40, {"ref:LV:addr": "101", "addr:housename": "Krāniņi",
+                               "addr:subdistrict": "Brenguļu pagasts"}),
+            (3, 56.00, 22.00, {"shop": "yes"}),  # no ref:LV:addr -> not addressable
+        ],
+        "elem_id long, elem_lat double, elem_lon double, tags map<string,string>",
+    )
+    assert addressables_from_elements(elements).count() == 2
+    items = spark.createDataFrame(
+        [
+            (10, "Krānu iela 35, Rīga"),
+            (11, '"Krāniņi", Brenguļu pagasts'),
+            (12, "Nekur iela 1"),       # parses but no region -> min req fails
+            (13, ",,"),                  # unparseable
+        ],
+        "item_id long, item_address string",
+    )
+    out = {r["item_id"]: r for r in address_geocode_analyzer(spark, elements, items).collect()}
+    assert out[10]["kind"] == "geocoded" and out[10]["lat"] == pytest.approx(56.95)
+    assert out[11]["kind"] == "geocoded" and out[11]["lat"] == pytest.approx(57.50)
+    assert out[12]["kind"] == "ungeocodable"
+    assert out[13]["kind"] == "ungeocodable"
