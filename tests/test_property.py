@@ -89,3 +89,91 @@ def test_haversine_metric_properties(lat1, lon1, lat2, lon2):
     assert d == haversine(lat2, lon2, lat1, lon1)  # symmetry
     assert haversine(lat1, lon1, lat1, lon1) == 0.0
     assert d <= 6_376_500.0 * np.pi + 1e-6  # half circumference bound
+
+
+@settings(max_examples=200, deadline=None)
+@given(raw=st.text(max_size=80))
+def test_fuzzy_parser_never_crashes(raw):
+    """Arbitrary text either parses to >=1 parts or returns None —
+    never raises (the reference parser is likewise total on non-null)."""
+    from osmalyzer_spark.functions.fuzzy_address import parse_fuzzy_address
+
+    parts = parse_fuzzy_address(raw)
+    assert parts is None or len(parts) >= 1
+    if parts is not None:
+        for p in parts:
+            assert 0 <= p.confidence <= 4
+            assert 0 <= p.index < len(raw.split(","))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    days=st.lists(
+        st.sampled_from(["Mo", "Tu", "We", "Th", "Fr", "Sa", "Su", "Xx"]),
+        min_size=0, max_size=6,
+    ),
+    times=st.lists(st.sampled_from(["08:00-12:00", "09:00-13:00", "Off"]),
+                   min_size=6, max_size=6),
+)
+def test_opening_hours_merge_properties(days, times):
+    """Pure-python replica of the reference algorithm vs the Spark fold:
+    same output on arbitrary line lists; output never longer than input."""
+    lines = [f"{d} {t}" for d, t in zip(days, times)]
+
+    # reference algorithm, transcribed (OsmOpeningHoursHelper.cs:19-127)
+    def merge_py(ls):
+        DAYS = ["Mo", "Tu", "We", "Th", "Fr", "Sa", "Su"]
+        out = []
+        for cur in ls:
+            if not out:
+                out.append(cur)
+                continue
+            prev = out[-1]
+            if len(cur) > 3 and cur[3] == "-":
+                out.append(cur)
+                continue
+            sp = prev.find(" ")
+            time_match = (
+                sp >= 0 and len(cur) >= 4 and prev[sp + 1:] == cur[3:]
+            )
+            if len(prev) >= 3 and prev[2] == "-":
+                a_end = prev[3:5] if len(prev) >= 5 else None
+            else:
+                a_end = prev[:2] if len(prev) >= 2 else None
+            b_day = cur[:2] if len(cur) >= 2 else None
+            seq = (
+                a_end in DAYS and b_day in DAYS
+                and DAYS.index(a_end) == DAYS.index(b_day) - 1
+            )
+            if time_match and seq:
+                out[-1] = prev[:2] + "-" + b_day + " " + cur[3:]
+            else:
+                out.append(cur)
+        return out
+
+    expected = merge_py(lines)
+    assert len(expected) <= max(len(lines), 1)
+    test_opening_hours_merge_properties.cases.append((lines, expected))
+
+
+test_opening_hours_merge_properties.cases = []
+
+
+def test_opening_hours_merge_spark_matches_python_replica(spark):
+    """Run the accumulated hypothesis cases through the Spark fold in ONE
+    job and compare against the python replica (per-case Spark jobs would
+    be too slow inside @given)."""
+    from osmalyzer_spark.functions.opening_hours import merge_weekday_lines
+
+    cases = test_opening_hours_merge_properties.cases
+    assert cases, "hypothesis case collector ran first"
+    df = spark.createDataFrame(
+        [(i, lines) for i, (lines, _) in enumerate(cases)],
+        "i long, lines array<string>",
+    )
+    got = {
+        r["i"]: r["m"]
+        for r in df.select("i", merge_weekday_lines("lines").alias("m")).collect()
+    }
+    for i, (_, expected) in enumerate(cases):
+        assert got[i] == expected, f"case {i}: {cases[i][0]}"

@@ -46,3 +46,38 @@ def test_arrival_stats_watermark(spark):
     got = arrival_stats_stream(df).collect()
     assert sum(r["n_rows"] for r in got) == 3
     assert len(got) == 2  # two 1-minute windows
+
+
+def test_stateful_streaming_dedup_across_restarts(spark, dirs):
+    """applyInPandasWithState dedup: first arrival per key passes, repeats
+    drop — including repeats arriving AFTER a query restart (state store
+    persists via the checkpoint)."""
+    from osmalyzer_spark.streaming.stateful import dedup_stream
+
+    in_dir, out_dir, ckpt = dirs
+    rows1 = [(1, "ka"), (2, "kb"), (3, "ka"), (4, "kc")]  # ka duplicated in-batch
+    spark.createDataFrame(rows1, "doc_id long, key string").write.mode("append").parquet(in_dir)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, key string").parquet(in_dir)
+        q = (
+            dedup_stream(stream, "key", "doc_id")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    out1 = {(r["doc_id"], r["key"]) for r in spark.read.parquet(out_dir).collect()}
+    assert out1 == {(1, "ka"), (2, "kb"), (4, "kc")}  # lowest id kept per key
+
+    # restart with repeats of old keys + one genuinely new key
+    rows2 = [(5, "ka"), (6, "kb"), (7, "kd")]
+    spark.createDataFrame(rows2, "doc_id long, key string").write.mode("append").parquet(in_dir)
+    run()
+    out2 = {(r["doc_id"], r["key"]) for r in spark.read.parquet(out_dir).collect()}
+    assert out2 == out1 | {(7, "kd")}  # ka/kb suppressed by persisted state
