@@ -191,18 +191,21 @@ def deferred_acceptance(
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         if unassigned is None:
-            props = cand
+            # round 1: every proposer proposes to its first choice — already
+            # encoded as __pref == 1, no second full-table window needed
+            props = cand.filter(F.col("__pref") == 1)
         else:
-            # after round 1 the loser/displaced sets are small: broadcast
+            # after round 1 the loser/displaced sets are small: broadcast,
+            # then rank only the small remaining slice
             props = cand.join(F.broadcast(unassigned), proposer, "left_semi").join(
                 F.broadcast(rejected), [proposer, acceptor], "left_anti"
             )
-        w1 = Window.partitionBy(proposer).orderBy("__pref")
-        props = (
-            props.withColumn("__rn", F.row_number().over(w1))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
+            w1 = Window.partitionBy(proposer).orderBy("__pref")
+            props = (
+                props.withColumn("__rn", F.row_number().over(w1))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
         contenders = holds.unionByName(props)
         w_acc = Window.partitionBy(acceptor).orderBy(*acceptor_order)
         contenders = contenders.withColumn("__win", F.row_number().over(w_acc))
