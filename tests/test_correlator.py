@@ -269,3 +269,17 @@ def test_randomized_oracle_equivalence(spark, seed):
         strength_expr=tag_strength_expr,
     )
     run_both(spark, elements, items, params)
+
+
+def test_empty_sides(spark):
+    """Degenerate inputs: empty items => every element unmatched_osm;
+    empty elements => every item unmatched_item; both run clean."""
+    e1 = dict(elem_id=1, **dict(zip(("lat", "lon"), at(0, 0))))
+    i1 = dict(item_id="a", **dict(zip(("lat", "lon"), at(0, 10))))
+    edf, idf = make_dfs(spark, [e1], [i1])
+    no_items = correlate(spark, edf, idf.limit(0), CorrelatorParams())
+    assert no_items.matched.count() == 0
+    assert [r["elem_id"] for r in no_items.unmatched_elements.collect()] == [1]
+    no_elems = correlate(spark, edf.limit(0), idf, CorrelatorParams())
+    assert no_elems.matched.count() == 0
+    assert [r["item_id"] for r in no_elems.unmatched_items.collect()] == ["a"]
