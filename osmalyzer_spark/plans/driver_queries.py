@@ -438,7 +438,8 @@ def q23_embedding_near_dup(spark, sf_dir):
     """Dedup tier 4: embedding-cosine near-dup pairs via hyperplane LSH
     buckets + exact verify. Threshold 0.4 because the synthetic embeddings
     have no true dups (max pairwise cosine ~0.51) — the operator still
-    exercises bucket-join + rerank end to end. Non-SQL (plane family)."""
+    exercises bucket-join + rerank end to end. Oracle: SQL replay of the
+    integer-quantized plane signatures + bucket join + exact cosine."""
     from osmalyzer_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -447,7 +448,8 @@ def q23_embedding_near_dup(spark, sf_dir):
 
 def q24_cosine_lsh(spark, sf_dir):
     """ANN scale path: LSH-bucketed cosine top-3 for probes vec_id < 20
-    (recall checked against q17's exact answer in pytest). Non-SQL."""
+    (recall checked against q17's exact answer in pytest). Oracle: SQL
+    replay of the quantized signatures + multi-table bucket join."""
     from osmalyzer_spark.operators.similarity import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings")

@@ -87,3 +87,19 @@ def test_filter_pushdown_to_parquet(spark, images_path):
     df = images.filter(F.col("fmt") == "png").select("image_id", "phash")
     plan = plan_of(df)
     assert "PushedFilters: [IsNotNull(fmt), EqualTo(fmt,png)]" in plan, plan
+
+
+def test_ivf_probe_side_broadcasts(spark):
+    """IVF search joins the (small) probe lists via broadcast — no
+    shuffle of the candidate side's assignments by join key."""
+    import numpy as np
+
+    from osmalyzer_spark.operators.similarity import cosine_topk_ivf
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 4), k=2, n_centroids=4, nprobe=2)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
