@@ -58,13 +58,20 @@ def doesnt_have_value(tags, key: str, value: str) -> Column:
     return ~has_value(tags, key, value)
 
 
+def _split_value(v) -> Column:
+    """TagUtils.SplitValue (TagUtils.cs:8-15): split on ';', drop
+    pre-trim-empty entries, trim the rest (duplicates preserved)."""
+    return F.transform(
+        F.filter(F.split(_c(v), ";"), lambda t: t != ""), lambda t: F.trim(t)
+    )
+
+
 def split_values_check(tags, key: str, pred) -> Column:
     """SplitValuesCheck (Core/Filters/SplitValuesCheck.cs:24-44): split the
-    `;`-delimited value; ALL trimmed tokens must pass `pred` (a lambda
-    Column -> Column)."""
-    v = F.element_at(_c(tags), F.lit(key))
-    toks = F.transform(F.split(v, ";"), lambda t: F.trim(t))
-    return F.coalesce(F.forall(toks, pred), F.lit(False))
+    `;`-delimited value (TagUtils.SplitValue semantics); the token list
+    must be non-empty and ALL tokens must pass `pred`."""
+    toks = _split_value(F.element_at(_c(tags), F.lit(key)))
+    return F.coalesce((F.size(toks) > 0) & F.forall(toks, pred), F.lit(False))
 
 
 # --- type predicates (IsNode.cs etc., IsClosedWay via node_ids) ------------
@@ -99,8 +106,9 @@ def get_value(tags, key: str) -> Column:
 
 
 def get_delimited_values(tags, key: str) -> Column:
-    """`;`-split + trim (TagUtils.cs:8-14)."""
-    return F.transform(F.split(get_value(tags, key), ";"), lambda t: F.trim(t))
+    """`;`-split, pre-trim empties dropped, tokens trimmed
+    (TagUtils.SplitValue, TagUtils.cs:8-15)."""
+    return _split_value(get_value(tags, key))
 
 
 def get_prefixed_values(tags, prefix: str) -> Column:
@@ -109,15 +117,25 @@ def get_prefixed_values(tags, prefix: str) -> Column:
 
 
 def values_equal_unordered(a, b) -> Column:
-    """Order-insensitive multiset equality of two `;`-delimited values
-    (TagUtils.cs:19-47)."""
-    norm = lambda c: F.array_sort(  # noqa: E731
-        F.transform(F.split(_c(c), ";"), lambda t: F.trim(t))
-    )
-    return norm(a) == norm(b)
+    """TagUtils.ValuesMatch (TagUtils.cs:21-47): trimmed exact equality,
+    or — only when BOTH values carry ';' — set equality of the trimmed
+    non-empty distinct tokens (repeats and whitespace-only tokens
+    ignored; tokens case-sensitive)."""
+    ta, tb = F.trim(_c(a)), F.trim(_c(b))
+
+    def norm(c: Column) -> Column:
+        toks = F.transform(F.split(c, ";"), lambda t: F.trim(t))
+        return F.array_sort(F.array_distinct(F.filter(toks, lambda t: t != "")))
+
+    both = ta.contains(";") & tb.contains(";")
+    return (ta == tb) | (both & (norm(ta) == norm(tb)))
 
 
 def values_equal_ordered(a, b) -> Column:
-    """Order-sensitive variant (TagUtils.cs:52-80)."""
-    norm = lambda c: F.transform(F.split(_c(c), ";"), lambda t: F.trim(t))  # noqa: E731
-    return norm(a) == norm(b)
+    """TagUtils.ValuesMatchOrderSensitive (TagUtils.cs:52-78): trimmed
+    exact equality, or — only when BOTH carry ';' — elementwise equality
+    of trimmed tokens with empties PRESERVED ('hi;;bye' != 'hi;bye')."""
+    ta, tb = F.trim(_c(a)), F.trim(_c(b))
+    norm = lambda c: F.transform(F.split(c, ";"), lambda t: F.trim(t))  # noqa: E731
+    both = ta.contains(";") & tb.contains(";")
+    return (ta == tb) | (both & (norm(ta) == norm(tb)))
