@@ -7,10 +7,13 @@ spark.sql.execution.arrow.maxRecordsPerBatch (set low in session.py
 because payload rows are fat).
 
 Real in this environment: PNG decode/encode (stdlib codec), PSNR
-integrity check, nearest-neighbor resize, mean-color feature extraction.
-Declared stubs (no codec libs in container): JPEG decode, video frame
-sampling, audio decode — the Spark-side plumbing (schema, batching,
-partitioning) is identical and tested via the PNG path.
+integrity check, nearest-neighbor resize, mean-color feature extraction,
+video frame sampling over the RAWV raw container (concatenated PNG
+frames) and audio features over RAWA raw PCM (datagen/rawmedia.py).
+Declared stubs (no codec libs in container): compressed codecs — JPEG,
+h264-style video, mp3-style audio — raise NotImplementedError per row;
+the Spark-side plumbing (schema, Arrow batching, explode shape) is the
+same code path the raw containers exercise end-to-end.
 """
 
 from __future__ import annotations
@@ -112,17 +115,87 @@ def check_payload_integrity(
     )
 
 
-def sample_video_frames(df: DataFrame, every_nth: int = 30) -> DataFrame:
-    """STUB: video frame sampling. No video codec in this container; the
-    operator shape is (binary, fmt) -> exploded frame rows. Raises until a
-    codec is wired in."""
-    raise NotImplementedError(
-        "video decode unavailable in this environment; see multimodal.py docstring"
+def sample_video_frames(
+    df: DataFrame,
+    every_nth: int = 30,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Video frame sampling: one exploded row per kept frame.
+
+    REAL for fmt='rawv' (the engine's raw container of concatenated PNG
+    frames, datagen/rawmedia.py); compressed codecs (h264/...) raise a
+    declared NotImplementedError per row — the Spark plumbing (schema,
+    Arrow batching, explode shape) is identical either way. Output:
+    (id, frame_idx, bytes png, w, h)."""
+    from osmalyzer_spark.datagen.rawmedia import unpack_rawv
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for vid, blob, fmt in zip(pdf[id_col], pdf[bytes_col], pdf["fmt"]):
+                if fmt != "rawv":
+                    raise NotImplementedError(
+                        f"no decoder for video format {fmt!r} in this "
+                        "environment (only the rawv container); see "
+                        "multimodal.py docstring"
+                    )
+                frames = unpack_rawv(bytes(blob))
+                for idx in range(0, len(frames), every_nth):
+                    px = decode_image(frames[idx], "png")
+                    out.append(
+                        (vid, idx, bytearray(frames[idx]), px.shape[1], px.shape[0])
+                    )
+            yield pd.DataFrame(
+                out, columns=[id_col, "frame_idx", "bytes", "w", "h"]
+            )
+
+    return df.select(id_col, bytes_col, "fmt").mapInPandas(
+        run, schema=f"{id_col} long, frame_idx int, bytes binary, w int, h int"
     )
 
 
-def extract_audio_features(df: DataFrame) -> DataFrame:
-    """STUB: audio feature extraction (no audio codec in container)."""
-    raise NotImplementedError(
-        "audio decode unavailable in this environment; see multimodal.py docstring"
+def extract_audio_features(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Audio feature extraction: duration, RMS, peak, zero-crossing rate.
+
+    REAL for fmt='rawa' (raw int16 PCM container, datagen/rawmedia.py) —
+    the feature math is plain numpy over the decoded samples; compressed
+    codecs raise a declared NotImplementedError per row."""
+    from osmalyzer_spark.datagen.rawmedia import unpack_rawa
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, blob, fmt in zip(pdf[id_col], pdf[bytes_col], pdf["fmt"]):
+                if fmt != "rawa":
+                    raise NotImplementedError(
+                        f"no decoder for audio format {fmt!r} in this "
+                        "environment (only the rawa container); see "
+                        "multimodal.py docstring"
+                    )
+                pcm, rate = unpack_rawa(bytes(blob))
+                x = pcm.astype(np.float64) / 32768.0
+                zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                out.append(
+                    (
+                        aid,
+                        len(x) / rate,
+                        float(np.sqrt((x * x).mean())) if len(x) else 0.0,
+                        float(np.abs(x).max()) if len(x) else 0.0,
+                        zc / (len(x) / rate) if len(x) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[id_col, "duration_s", "rms", "peak", "zero_cross_per_s"],
+            )
+
+    return df.select(id_col, bytes_col, "fmt").mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, duration_s double, rms double, peak double, "
+            "zero_cross_per_s double"
+        ),
     )

@@ -93,3 +93,62 @@ def test_mean_color_feature(spark, images):
     for r in feat.collect():
         assert len(r["rgb"]) == 3
         assert all(0 <= v <= 255 for v in r["rgb"])
+
+
+def test_video_frame_sampling_rawv(spark):
+    """RAWV container -> every-nth frame exploded, pixels intact."""
+    import numpy as np
+
+    from osmalyzer_spark.datagen.png import decode_image, png_encode
+    from osmalyzer_spark.datagen.rawmedia import pack_rawv
+    from osmalyzer_spark.multimodal import sample_video_frames
+
+    rng = np.random.default_rng(5)
+    frames = [png_encode(rng.integers(0, 255, (8, 6, 3)).astype(np.uint8)) for _ in range(7)]
+    df = spark.createDataFrame(
+        [(1, bytearray(pack_rawv(frames)), "rawv")],
+        "image_id long, bytes binary, fmt string",
+    )
+    out = sample_video_frames(df, every_nth=3).collect()
+    assert [(r["frame_idx"], r["w"], r["h"]) for r in sorted(out, key=lambda r: r["frame_idx"])] == [
+        (0, 6, 8), (3, 6, 8), (6, 6, 8),
+    ]
+    for r in out:
+        want = decode_image(frames[r["frame_idx"]], "png")
+        got = decode_image(bytes(r["bytes"]), "png")
+        assert (want == got).all()
+
+
+def test_video_unknown_codec_is_declared_stub(spark):
+    import pytest as _pytest
+
+    from osmalyzer_spark.multimodal import sample_video_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x00\x00"), "h264")], "image_id long, bytes binary, fmt string"
+    )
+    with _pytest.raises(Exception, match="no decoder for video format"):
+        sample_video_frames(df).collect()
+
+
+def test_audio_features_rawa(spark):
+    """Sine-wave PCM: rms ~ amp/sqrt(2), zero crossings ~ 2f per second."""
+    import math
+
+    import numpy as np
+
+    from osmalyzer_spark.datagen.rawmedia import pack_rawa
+    from osmalyzer_spark.multimodal import extract_audio_features
+
+    rate, freq, amp = 8000, 440.0, 0.5
+    t = np.arange(rate) / rate  # 1 second
+    pcm = (amp * 32767 * np.sin(2 * math.pi * freq * t)).astype(np.int16)
+    df = spark.createDataFrame(
+        [(7, bytearray(pack_rawa(pcm, rate)), "rawa")],
+        "image_id long, bytes binary, fmt string",
+    )
+    r = extract_audio_features(df).collect()[0]
+    assert r["duration_s"] == 1.0
+    assert r["rms"] == pytest.approx(amp / math.sqrt(2), rel=0.01)
+    assert r["zero_cross_per_s"] == pytest.approx(2 * freq, rel=0.01)
+    assert r["peak"] == pytest.approx(amp, rel=0.01)
