@@ -62,6 +62,9 @@ def main() -> None:
         "q21_minhash_lsh": dq.q21_minhash_lsh,
         "q22_simhash": dq.q22_simhash,
         "q25_tile_region": dq.q25_tile_region,
+        "q29_fuzzy_parse": dq.q29_fuzzy_parse,
+        "q31_opening_hours": dq.q31_opening_hours,
+        "q32_ivf_ann": dq.q32_ivf_ann,
         "flagship_correlator": flagship_correlator,
     }
 

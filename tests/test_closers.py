@@ -165,3 +165,19 @@ def test_overpass_query_and_filter_agree(spark):
     )
     got = sorted(r["id"] for r in df.filter(rules_filter(rules, "tags")).collect())
     assert got == [1]
+
+
+def test_read_table_fallback_and_snapshot(spark, tmp_path):
+    """No Iceberg jar in this sandbox: read_table falls back to parquet
+    and snapshot_id yields a files-digest that tracks input changes."""
+    from osmalyzer_spark.sources.tables import iceberg_available, read_table, snapshot_id
+
+    p = str(tmp_path / "t")
+    spark.range(5).write.parquet(p)
+    assert iceberg_available(spark) is False
+    assert read_table(spark, p).count() == 5
+    s1 = snapshot_id(spark, p)
+    assert s1.startswith("files:")
+    spark.range(5, 9).write.mode("append").parquet(p)
+    s2 = snapshot_id(spark, p)
+    assert s2 != s1  # lineage token tracks the input
