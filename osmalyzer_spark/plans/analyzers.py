@@ -163,6 +163,55 @@ def cultural_monument_analyzer(
     return correlate(spark, slim, items, params)
 
 
+def bank_location_analyzer(
+    spark: SparkSession,
+    elements: DataFrame,
+    atm_items: DataFrame,
+    branch_items: DataFrame,
+    bank_name: str,
+    polygon=None,
+) -> tuple[CorrelationResult, CorrelationResult]:
+    """Bank POI correlation (Analyzers/Banks/BankLocationAnalyzer.cs:19-110):
+    elements with amenity in {atm, bank} whose FIRST non-null of
+    operator/brand/name contains the bank name (case-insensitive —
+    exactly the reference's ??-coalesce then Contains); ATMs and branches
+    correlate separately at 100/300 m with Strong extra 700; a fuzzy
+    address match upgrades to Strong, else Good. Optional boundary
+    polygon prefilter without outside reporting (reference passes
+    false)."""
+    first_name = F.coalesce(
+        get_value("tags", "operator"),
+        get_value("tags", "brand"),
+        get_value("tags", "name"),
+    )
+    related = elements.filter(
+        has_any_value("tags", "amenity", ["atm", "bank"])
+        & F.lower(first_name).contains(bank_name.lower())
+    )
+
+    def run(amenity: str, items: DataFrame) -> CorrelationResult:
+        pts = related.filter(has_any_value("tags", "amenity", [amenity]))
+        slim = _slim_elements(pts, ["addr:street", "addr:housenumber"])
+        params = CorrelatorParams(
+            match_distance=100.0,
+            unmatch_distance=300.0,
+            strong_extra_distance=700.0,
+            strength_expr=lambda df: F.when(
+                fuzzy_address_match(
+                    F.col("elem_addr_street"),
+                    F.col("elem_addr_housenumber"),
+                    F.col("item_address"),
+                ),
+                F.lit(STRONG),
+            ).otherwise(F.lit(GOOD)),
+            polygon=polygon,
+            report_outside_polygon=False,
+        )
+        return correlate(spark, slim, items, params)
+
+    return run("atm", atm_items), run("bank", branch_items)
+
+
 def addressables_from_elements(elements: DataFrame) -> DataFrame:
     """OSM elements -> the finder's addressables table
     (FuzzyAddressFinder.cs:227-330: filter HasKey('ref:LV:addr'), project

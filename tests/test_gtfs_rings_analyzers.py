@@ -184,3 +184,40 @@ def test_validator_pass(spark):
     assert (2, "tag:shop", "convenience") in got
     assert (3, "tag:shop", None) in got
     assert all(r["elem_id"] != 1 for r in issues)
+
+
+def test_bank_location_analyzer(spark):
+    """BankLocationAnalyzer flow: first-non-null operator/brand/name must
+    contain the bank (an element whose operator is another bank is out
+    even if its name mentions ours); ATMs and branches correlate
+    separately; address match upgrades to Strong."""
+    from osmalyzer_spark.plans.analyzers import bank_location_analyzer
+
+    elements = spark.createDataFrame(
+        [
+            (1, 56.9500, 24.1000, {"amenity": "atm", "operator": "Bankia"}),
+            # operator is FIRST non-null and doesn't contain -> excluded,
+            # even though name would match (??-coalesce semantics)
+            (2, 56.9501, 24.1001, {"amenity": "atm", "operator": "Other",
+                                   "name": "Bankia ATM"}),
+            (3, 56.9600, 24.1100, {"amenity": "bank", "brand": "bankia",
+                                   "addr:street": "Ozolu iela",
+                                   "addr:housenumber": "4"}),
+            (4, 56.9700, 24.1200, {"amenity": "cafe", "name": "Bankia cafe"}),
+        ],
+        "elem_id long, elem_lat double, elem_lon double, tags map<string,string>",
+    )
+    atms = spark.createDataFrame(
+        [("a1", 56.9500, 24.1000, None)],
+        "item_id string, item_lat double, item_lon double, item_address string",
+    )
+    branches = spark.createDataFrame(
+        [("b1", 56.9600, 24.1100, "Ozolu iela 4, Rīga")],
+        "item_id string, item_lat double, item_lon double, item_address string",
+    )
+    atm_res, br_res = bank_location_analyzer(spark, elements, atms, branches, "Bankia")
+    atm_matched = {(r["item_id"], r["elem_id"]) for r in atm_res.matched.collect()}
+    assert atm_matched == {("a1", 1)}  # elem 2 excluded by coalesce rule
+    br = br_res.matched.collect()
+    assert [(r["item_id"], r["elem_id"]) for r in br] == [("b1", 3)]
+    assert br[0]["strength"] == 3  # address match -> Strong
