@@ -247,6 +247,94 @@ def deferred_acceptance(
     return holds.drop("__pref"), rounds
 
 
+def checkpointed_correlate(
+    spark: SparkSession,
+    elements: DataFrame,
+    items: DataFrame,
+    params: "CorrelatorParams | None",
+    ck,
+    cc_max_iter: int = 64,
+    fail_after_batches: int | None = None,  # crash-simulation test hook
+) -> DataFrame:
+    """Resumable correlate with EXACT global semantics.
+
+    Naive spatial bucketing breaks the matching: a displacement chain (or
+    simply a best match) can cross any fixed geographic boundary. The
+    correct unit of checkpointing is a CONNECTED COMPONENT of the
+    candidate graph (all item–element pairs within seek_distance): no
+    candidate edge crosses components, so deferred acceptance on each
+    component is independent and the union of per-component matchings IS
+    the global fixed point. Components are hashed into ck.n_buckets
+    buckets; each bucket correlates its elements against its co-bucketed
+    items via ck.run's `process(df, bucket=)` path and writes the
+    six-kind correlations — crash/resume semantics come from
+    CheckpointedRun (idempotent dynamic-overwrite writes).
+
+    Dense regions (the Riga hotspot) honestly form large components —
+    they ARE one matching problem; granularity cannot exceed problem
+    structure without changing answers.
+
+    Returns the unified correlations DataFrame (== correlate(...)
+    .correlations on the same inputs).
+    """
+    from osmalyzer_spark.operators.dedup import connected_components_greedy
+
+    p = params or CorrelatorParams()
+    if p.match_anywhere:
+        raise ValueError("checkpointed_correlate requires distance-bounded matching")
+    if p.lone_upgrade_unbounded:
+        raise ValueError(
+            "unbounded lone upgrades can cross candidate components; use a "
+            "bounded radius <= seek_distance"
+        )
+    if p.lone_upgrade_radius_m is not None and p.lone_upgrade_radius_m > p.seek_distance:
+        raise ValueError("lone_upgrade_radius_m beyond seek_distance crosses components")
+
+    pairs = radius_join(
+        items.select("item_id", "item_lat", "item_lon"),
+        elements.select("elem_id", "elem_lat", "elem_lon"),
+        p.seek_distance,
+        probe_coords=("item_lat", "item_lon"),
+        build_coords=("elem_lat", "elem_lon"),
+        dist_col="__d",
+        salt=p.salt,
+    ).select(
+        F.concat(F.lit("i:"), F.col("item_id").cast("string")).alias("id_a"),
+        F.concat(F.lit("e:"), F.col("elem_id").cast("string")).alias("id_b"),
+    )
+    comps = connected_components_greedy(pairs, max_iter=cc_max_iter)
+
+    def with_bucket(df: DataFrame, prefix: str, id_col: str) -> DataFrame:
+        key = F.concat(F.lit(prefix), F.col(id_col).cast("string"))
+        joined = df.join(
+            comps.select(F.col("id").alias("__k"), "component"),
+            key == F.col("__k"),
+            "left",
+        ).drop("__k")
+        # candidate-less rows are singleton components of their own key
+        return joined.withColumn(
+            "__cbucket",
+            F.pmod(F.xxhash64(F.coalesce("component", key)), F.lit(ck.n_buckets)).cast(
+                "int"
+            ),
+        ).drop("component")
+
+    elems_b = with_bucket(elements, "e:", "elem_id").localCheckpoint(eager=True)
+    items_b = with_bucket(items, "i:", "item_id").localCheckpoint(eager=True)
+
+    def process(df: DataFrame, bucket: int) -> DataFrame:
+        bucket_items = items_b.filter(F.col("__cbucket") == bucket).drop("__cbucket")
+        return correlate(
+            spark, df.drop("__cbucket"), bucket_items, p
+        ).correlations
+
+    return ck.run(
+        spark, elems_b, process,
+        bucket_expr=F.col("__cbucket"),
+        fail_after_batches=fail_after_batches,
+    )
+
+
 def correlate(
     spark: SparkSession,
     elements: DataFrame,

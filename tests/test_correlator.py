@@ -283,3 +283,80 @@ def test_empty_sides(spark):
     no_elems = correlate(spark, edf.limit(0), idf, CorrelatorParams())
     assert no_elems.matched.count() == 0
     assert [r["item_id"] for r in no_elems.unmatched_items.collect()] == ["a"]
+
+
+def _corr_rows(df):
+    return {
+        (r["kind"], r["osm_id"], r["item_id"],
+         round(r["distance"], 6) if r["distance"] is not None else None,
+         r["strength"], r["far"])
+        for r in df.collect()
+    }
+
+
+def test_checkpointed_correlate_exact_vs_global(spark, tmp_path):
+    """Component bucketing preserves the global fixed point, including a
+    displacement chain that any fixed spatial boundary would cut."""
+    import numpy as np
+
+    from osmalyzer_spark.checkpoint import CheckpointedRun
+    from osmalyzer_spark.operators.correlator import checkpointed_correlate
+
+    # chain: items all prefer leftward elements; displacement propagates
+    chain_elems = [dict(elem_id=i, **dict(zip(("lat", "lon"), at(0, i * 60)))) for i in range(5)]
+    chain_items = [dict(item_id=f"c{i}", **dict(zip(("lat", "lon"), at(0, i * 60 + 5)))) for i in range(4)]
+    # plus random scatter (some candidate-less)
+    rng = np.random.default_rng(11)
+    far_elems = [
+        dict(elem_id=100 + i, **dict(zip(("lat", "lon"), at(float(rng.uniform(2000, 50000)), float(rng.uniform(-50000, 50000))))))
+        for i in range(40)
+    ]
+    far_items = [
+        dict(item_id=f"f{i}", **dict(zip(("lat", "lon"), at(float(rng.uniform(2000, 50000)), float(rng.uniform(-50000, 50000))))))
+        for i in range(15)
+    ]
+    edf, idf = make_dfs(spark, chain_elems + far_elems, chain_items + far_items)
+    params = CorrelatorParams(match_distance=15, unmatch_distance=75)
+
+    expected = _corr_rows(correlate(spark, edf, idf, params).correlations)
+    ck = CheckpointedRun(str(tmp_path / "ckc"), run_id="cc1", n_buckets=4, buckets_per_batch=2)
+    got = _corr_rows(checkpointed_correlate(spark, edf, idf, params, ck))
+    assert got == expected
+
+
+def test_checkpointed_correlate_crash_resume(spark, tmp_path):
+    """Crash after 2 of 4 component buckets; the resumed run completes the
+    remainder and the final correlations equal the global answer."""
+    import pytest as _pytest
+
+    from osmalyzer_spark.checkpoint import CheckpointedRun
+    from osmalyzer_spark.operators.correlator import checkpointed_correlate
+
+    elems = [dict(elem_id=i, **dict(zip(("lat", "lon"), at(float(i * 3000), 0.0)))) for i in range(12)]
+    items = [dict(item_id=f"x{i}", **dict(zip(("lat", "lon"), at(float(i * 3000), 10.0)))) for i in range(12)]
+    edf, idf = make_dfs(spark, elems, items)
+    params = CorrelatorParams(match_distance=15, unmatch_distance=75)
+    expected = _corr_rows(correlate(spark, edf, idf, params).correlations)
+
+    out_dir = str(tmp_path / "ckr")
+    ck = CheckpointedRun(out_dir, run_id="cc2", n_buckets=4, buckets_per_batch=1)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        checkpointed_correlate(spark, edf, idf, params, ck, fail_after_batches=2)
+    assert len(ck.done_buckets(spark)) == 2
+    got = _corr_rows(checkpointed_correlate(spark, edf, idf, params, ck))
+    assert got == expected
+
+
+def test_checkpointed_correlate_rejects_unbounded_upgrade(spark, tmp_path):
+    from osmalyzer_spark.checkpoint import CheckpointedRun
+    from osmalyzer_spark.operators.correlator import checkpointed_correlate
+    import pytest as _pytest
+
+    edf, idf = make_dfs(spark, [dict(elem_id=1, **dict(zip(("lat", "lon"), at(0, 0))))],
+                        [dict(item_id="a", **dict(zip(("lat", "lon"), at(0, 10))))])
+    ck = CheckpointedRun(str(tmp_path / "x"), run_id="r", n_buckets=2)
+    with _pytest.raises(ValueError, match="components"):
+        checkpointed_correlate(
+            spark, edf, idf,
+            CorrelatorParams(lone_upgrade_unbounded=True), ck,
+        )
