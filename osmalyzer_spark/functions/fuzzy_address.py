@@ -356,13 +356,16 @@ def _extract_best(
     best: Part | None = None
     best_count = 1 << 30
     for parts in proposed:
-        cands = sorted(
-            (p for p in parts if p.type == ptype and p.confidence >= min_conf),
-            key=lambda p: -p.confidence,
-        )
-        if not cands:
+        part: Part | None = None
+        for p in parts:  # first-max == stable OrderByDescending.First()
+            if (
+                p.type == ptype
+                and p.confidence >= min_conf
+                and (part is None or p.confidence > part.confidence)
+            ):
+                part = p
+        if part is None:
             continue
-        part = cands[0]
         if (
             best is None
             or part.confidence > best.confidence
@@ -428,6 +431,8 @@ def parse_fuzzy_address(
         return None
     selected: list[Part] = []
     for min_conf in (HINTED_HIGH, HIGH, HINTED_LOW, HINTED_FALLBACK, LOW):
+        if not any(proposed):  # everything consumed — skip remaining probes
+            break
         for ptype in _EXTRACT_ORDER:
             got = _extract_best(proposed, ptype, min_conf)
             if got is not None:
