@@ -170,12 +170,27 @@ def deferred_acceptance(
     proposer_order: list[Column],
     acceptor_order: list[Column],
     max_rounds: int = 64,
+    checkpoint_every: int = 8,
 ) -> tuple[DataFrame, int]:
     """Distributed Gale-Shapley over a candidate-pair DataFrame.
 
     Returns (holds, rounds): holds has one row per matched acceptor, the
-    proposer-optimal stable matching. Each round shuffles only the pair
-    table; lineage is truncated per round with localCheckpoint.
+    proposer-optimal stable matching.
+
+    Per-round cost is O(contested), not O(holds): after round 1 only the
+    acceptors that actually receive a new proposal are re-ranked — held
+    pairs whose acceptor is uncontested this round pass through untouched
+    (an acceptor's hold can only change when someone new proposes to it).
+    Rejections are tracked as a per-proposer preference watermark
+    (__minpref) rather than a growing rejected-pair set: a proposer walks
+    its candidate list in strictly increasing __pref order (a lost acceptor
+    is lost forever — its hold only improves), so one small
+    (proposer, __minpref) table replaces the pair blacklist and the
+    displaced-holder set alike.
+
+    Lineage: winners are checkpointed each round; the full holds union is
+    re-checkpointed only every `checkpoint_every` rounds, bounding both
+    plan depth and per-round materialization.
     """
     w_pref = Window.partitionBy(proposer).orderBy(*proposer_order)
     cand = cand.withColumn("__pref", F.row_number().over(w_pref)).localCheckpoint(
@@ -183,22 +198,26 @@ def deferred_acceptance(
     )
     holds = spark.createDataFrame([], cand.schema)
     # the big candidate table is immutable after round 0; per-round state
-    # is only the SMALL tables — unassigned proposers and rejected pairs —
-    # so later rounds (displacement-chain tails) stay cheap no matter how
-    # large the candidate set is
+    # is only the SMALL unassigned-proposer watermark table, so later
+    # rounds (displacement-chain tails) stay cheap no matter how large the
+    # candidate set is
     unassigned = None  # round 1: every proposer proposes — no join needed
-    rejected = spark.createDataFrame([], cand.select(proposer, acceptor).schema)
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         if unassigned is None:
             # round 1: every proposer proposes to its first choice — already
-            # encoded as __pref == 1, no second full-table window needed
+            # encoded as __pref == 1, no second full-table window needed.
+            # holds is empty: everything is contested, nothing untouched.
             props = cand.filter(F.col("__pref") == 1)
+            untouched = holds
+            contenders = props
         else:
-            # after round 1 the loser/displaced sets are small: broadcast,
-            # then rank only the small remaining slice
-            props = cand.join(F.broadcast(unassigned), proposer, "left_semi").join(
-                F.broadcast(rejected), [proposer, acceptor], "left_anti"
+            # after round 1 the unassigned set is small: broadcast it, walk
+            # each proposer forward from its watermark, rank only that slice
+            props = (
+                cand.join(F.broadcast(unassigned), proposer)
+                .filter(F.col("__pref") >= F.col("__minpref"))
+                .drop("__minpref")
             )
             w1 = Window.partitionBy(proposer).orderBy("__pref")
             props = (
@@ -206,33 +225,37 @@ def deferred_acceptance(
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
-        contenders = holds.unionByName(props)
+            # only acceptors receiving a new proposal can change hands;
+            # the rest of holds passes through this round untouched
+            contested = props.select(acceptor).distinct()
+            touched = holds.join(F.broadcast(contested), acceptor, "left_semi")
+            untouched = holds.join(F.broadcast(contested), acceptor, "left_anti")
+            contenders = touched.unionByName(props)
         w_acc = Window.partitionBy(acceptor).orderBy(*acceptor_order)
         contenders = contenders.withColumn("__win", F.row_number().over(w_acc))
-        new_holds = (
+        winners = (
             contenders.filter(F.col("__win") == 1)
             .drop("__win")
             .localCheckpoint(eager=True)
         )
+        # losers covers BOTH rejected new proposals and displaced holders
+        # (a displaced hold is a contender that lost its window); each
+        # carries its pair's __pref, so the next watermark is max+1
         losers = (
             contenders.filter(F.col("__win") > 1)
-            .select(proposer, acceptor)
+            .select(proposer, "__pref")
             .localCheckpoint(eager=True)
         )
-        # displaced = previously held proposers that lost their acceptor
-        displaced = holds.select(proposer).join(
-            new_holds.select(proposer), proposer, "left_anti"
-        )
-        holds = new_holds
+        holds = untouched.unionByName(winners)
+        if rounds % checkpoint_every == 0:
+            holds = holds.localCheckpoint(eager=True)
         # no conflicts => every proposal was accepted => every proposer
         # with remaining candidates is now held: stable, stop.
         if losers.isEmpty():
             break
-        rejected = rejected.unionByName(losers).localCheckpoint(eager=True)
         unassigned = (
-            losers.select(proposer)
-            .union(displaced)
-            .distinct()
+            losers.groupBy(proposer)
+            .agg((F.max("__pref") + 1).alias("__minpref"))
             .localCheckpoint(eager=True)
         )
     else:
