@@ -24,9 +24,10 @@ Re-expresses the reference's FuzzyAddressParsing project:
   FuzzyAddressFinder.cs:195-225), old-address fallback, and averaged
   coordinates of tied winners are native expressions.
 
-Vocabulary (KNOWN_*) is a trimmed extract of the reference's
-KnownFuzzyNames.cs public place-name tables (sourced from Wikipedia per
-its header comment); extend the lists to the full set for production.
+Vocabulary (KNOWN_*) carries the FULL public place-name tables from
+functions/known_names.py (the same Wikipedia sources KnownFuzzyNames.cs
+cites in its header: 35 municipalities, 509 distinct parishes, 81 cities,
+298 largest towns).
 """
 
 from __future__ import annotations
@@ -73,37 +74,12 @@ STREET_SUFFIXES = [
     ("krastmala", "krastmalā"),
 ]
 
-KNOWN_MUNICIPALITIES = [
-    "Ādažu", "Aizkraukles", "Alūksnes", "Augšdaugavas", "Balvu", "Bauskas",
-    "Cēsu", "Dienvidkurzemes", "Dobeles", "Gulbenes", "Jēkabpils", "Jelgavas",
-    "Krāslavas", "Kuldīgas", "Ķekavas", "Limbažu", "Līvānu", "Ludzas",
-    "Madonas", "Mārupes", "Ogres", "Olaines", "Preiļu", "Rēzeknes", "Ropažu",
-    "Salaspils", "Saldus", "Saulkrastu", "Siguldas", "Smiltenes", "Talsu",
-    "Tukuma", "Valkas", "Valmieras", "Ventspils",
-]
-
-KNOWN_CITIES = [
-    "Ainaži", "Aizkraukle", "Aizpute", "Alūksne", "Balvi", "Bauska", "Cēsis",
-    "Daugavpils", "Dobele", "Gulbene", "Jēkabpils", "Jelgava", "Jūrmala",
-    "Krāslava", "Kuldīga", "Liepāja", "Limbaži", "Līvāni", "Ludza", "Madona",
-    "Ogre", "Olaine", "Preiļi", "Rēzekne", "Rīga", "Salaspils", "Saldus",
-    "Saulkrasti", "Sigulda", "Smiltene", "Talsi", "Tukums", "Valka",
-    "Valmiera", "Ventspils",
-]
-
-KNOWN_TOWNS = [
-    "Ulbroka", "Carnikava", "Ozolnieki", "Piņķi", "Jaunolaine", "Jaunmārupe",
-    "Kadaga", "Valmiermuiža", "Skrīveri", "Inčukalns", "Priekuļi", "Garkalne",
-    "Malta", "Roja", "Vecumnieki", "Mālpils", "Ropaži",
-]
-
-KNOWN_PARISHES = [
-    "Ādažu", "Carnikavas", "Aizkraukles", "Bebru", "Iršu", "Jaunjelgavas",
-    "Kokneses", "Neretas", "Seces", "Skrīveru", "Zalves", "Annas", "Ilzenes",
-    "Liepnas", "Mālupes", "Pededzes", "Zeltiņu", "Brenguļu", "Kauguru",
-    "Trikātas", "Inčukalna", "Mālpils", "Ropažu", "Allažu", "Mores",
-    "Siguldas", "Salas", "Babītes",
-]
+from osmalyzer_spark.functions.known_names import (
+    CITIES as KNOWN_CITIES,
+    MUNICIPALITIES as KNOWN_MUNICIPALITIES,
+    PARISHES as KNOWN_PARISHES,
+    TOWNS as KNOWN_TOWNS,
+)
 
 _city_set = {c.lower() for c in KNOWN_CITIES}
 _town_set = {t.lower() for t in KNOWN_TOWNS}

@@ -213,7 +213,11 @@ def deferred_acceptance(
             contenders = props
         else:
             # after round 1 the unassigned set is small: broadcast it, walk
-            # each proposer forward from its watermark, rank only that slice
+            # each proposer forward from its watermark, rank only that
+            # slice. Checkpoint the (small) result so the ONE big-cand scan
+            # per round happens exactly once — everything downstream
+            # (contested set, touched/untouched split, the acceptor window)
+            # reads the materialized slice, not the cand lineage.
             props = (
                 cand.join(F.broadcast(unassigned), proposer)
                 .filter(F.col("__pref") >= F.col("__minpref"))
@@ -224,6 +228,7 @@ def deferred_acceptance(
                 props.withColumn("__rn", F.row_number().over(w1))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
+                .localCheckpoint(eager=True)
             )
             # only acceptors receiving a new proposal can change hands;
             # the rest of holds passes through this round untouched
@@ -232,20 +237,18 @@ def deferred_acceptance(
             untouched = holds.join(F.broadcast(contested), acceptor, "left_anti")
             contenders = touched.unionByName(props)
         w_acc = Window.partitionBy(acceptor).orderBy(*acceptor_order)
-        contenders = contenders.withColumn("__win", F.row_number().over(w_acc))
-        winners = (
-            contenders.filter(F.col("__win") == 1)
-            .drop("__win")
-            .localCheckpoint(eager=True)
-        )
+        # one checkpoint materializes the ranked contenders; winners,
+        # losers, and the empty-check are all cheap filters over it
+        # (checkpointing winners and losers separately would run the
+        # window twice)
+        ranked = contenders.withColumn(
+            "__win", F.row_number().over(w_acc)
+        ).localCheckpoint(eager=True)
+        winners = ranked.filter(F.col("__win") == 1).drop("__win")
         # losers covers BOTH rejected new proposals and displaced holders
         # (a displaced hold is a contender that lost its window); each
         # carries its pair's __pref, so the next watermark is max+1
-        losers = (
-            contenders.filter(F.col("__win") > 1)
-            .select(proposer, "__pref")
-            .localCheckpoint(eager=True)
-        )
+        losers = ranked.filter(F.col("__win") > 1).select(proposer, "__pref")
         holds = untouched.unionByName(winners)
         if rounds % checkpoint_every == 0:
             holds = holds.localCheckpoint(eager=True)

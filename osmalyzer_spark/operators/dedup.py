@@ -55,14 +55,62 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Distinct 64-bit shingle hashes (md5 lower 64, little-endian over
     digest bytes 8..16 == DuckDB md5_number_lower) over k-word shingles.
     Tokenization = split on single space, empties dropped, matching SQL
-    string_split(text, ' ') ... WHERE w <> '' so oracles can replay it."""
+    string_split(text, ' ') ... WHERE w <> '' so oracles can replay it.
+
+    (Reference single-doc path, used by tests; minhash_signatures uses the
+    batched zero-copy equivalent below.)"""
+    from osmalyzer_spark.functions.md5 import md5_lower64_batch
+
     toks = [w for w in text.split(" ") if w]
     if len(toks) < k:
         toks = toks + [""] * (k - len(toks))
-    out = np.empty(max(1, len(toks) - k + 1), dtype=np.uint64)
-    for i in range(len(out)):
-        out[i] = _md5_lower64(" ".join(toks[i : i + k]))
-    return np.unique(out)
+    n = max(1, len(toks) - k + 1)
+    return np.unique(
+        md5_lower64_batch([" ".join(toks[i : i + k]).encode() for i in range(n)])
+    )
+
+
+def _batch_shingle_spans(
+    texts, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[int]]:
+    """All documents' k-word shingle byte-ranges over ONE flat buffer.
+
+    A k-word shingle " ".join(toks[i:i+k]) is a contiguous byte slice of
+    " ".join(toks), so no per-shingle string/bytes object is needed —
+    returns (flat_uint8, starts, lens, shingles_per_doc) ready for
+    md5_lower64_ranges. This is the MinHash signature hot path
+    (BENCH.md micro: ~3x over the per-shingle hashlib loop).
+    """
+    bufs: list[bytes] = []
+    starts_parts: list[np.ndarray] = []
+    lens_parts: list[np.ndarray] = []
+    counts: list[int] = []
+    base = 0
+    for t in texts:
+        toks = [w for w in (t or "").split(" ") if w]
+        if len(toks) < k:
+            toks = toks + [""] * (k - len(toks))
+        doc = " ".join(toks).encode()
+        bufs.append(doc)
+        # tokens cannot contain 0x20 (they came from split(" ")) and no
+        # UTF-8 continuation byte is 0x20, so separator positions are one
+        # byte scan
+        arr = np.frombuffer(doc, dtype=np.uint8)
+        sep = np.nonzero(arr == 32)[0]
+        tok_starts = np.concatenate(([0], sep + 1))
+        tok_ends = np.concatenate((sep, [len(doc)]))
+        n_sh = len(toks) - k + 1
+        starts_parts.append(base + tok_starts[:n_sh])
+        lens_parts.append(tok_ends[k - 1 :] - tok_starts[:n_sh])
+        counts.append(n_sh)
+        base += len(doc) + 1  # +1 for the separator byte between documents
+    flat = np.frombuffer(b"\x00".join(bufs) + b"\x00", dtype=np.uint8)
+    return (
+        flat,
+        np.concatenate(starts_parts) if starts_parts else np.zeros(0, np.int64),
+        np.concatenate(lens_parts) if lens_parts else np.zeros(0, np.int64),
+        counts,
+    )
 
 
 def minhash_params(num_hashes: int = 64, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -95,9 +143,16 @@ def minhash_signatures(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig_udf(texts: pd.Series) -> pd.Series:
+        from osmalyzer_spark.functions.md5 import md5_lower64_ranges
+
+        # one vectorized md5 pass over every shingle of the Arrow batch
+        flat, starts, lens, counts = _batch_shingle_spans(texts, shingle_k)
+        hashes = md5_lower64_ranges(flat, starts, lens)
         out = []
-        for t in texts:
-            sh = _shingle_hashes(t or "", shingle_k)
+        pos = 0
+        for c in counts:
+            sh = np.unique(hashes[pos : pos + c])
+            pos += c
             vals = (A[:, None] * sh[None, :] + B[:, None]) >> np.uint64(1)  # uint64 wrap
             out.append(vals.min(axis=1).astype(np.int64))
         return pd.Series(out)
@@ -208,24 +263,23 @@ def simhash_fingerprints(
 
     @F.pandas_udf(T.LongType())
     def sim_udf(texts: pd.Series) -> pd.Series:
+        from osmalyzer_spark.functions.md5 import md5_lower64_batch
+
+        # hash the batch's distinct vocabulary in ONE vectorized md5 pass
+        tok_lists = [[w for w in (t or "").split(" ") if w] for t in texts]
+        vocab = list({w for toks in tok_lists for w in toks})
+        cache = dict(zip(vocab, md5_lower64_batch([w.encode() for w in vocab])))
         out = np.empty(len(texts), dtype=np.int64)
         bit_idx = np.arange(64, dtype=np.uint64)
-        cache: dict[str, int] = {}
-        for i, t in enumerate(texts):
-            toks = [w for w in (t or "").split(" ") if w]
+        for i, toks in enumerate(tok_lists):
             if not toks:
                 out[i] = 0
                 continue
-            for w in toks:
-                if w not in cache:
-                    cache[w] = _md5_lower64(w)
-            hashes = np.array([cache[w] for w in toks], dtype=np.uint64)
+            hashes = np.fromiter((cache[w] for w in toks), dtype=np.uint64, count=len(toks))
             bits = (hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)  # (n_tok, 64)
             score = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            fp = np.uint64(0)
-            for b in np.where(score > 0)[0]:
-                fp |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(fp.astype(np.int64))
+            fp = ((score > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
+            out[i] = fp.astype(np.int64)  # wrap, not raise, on the top bit
         return pd.Series(out)
 
     return df.select(F.col(id_col).alias("id"), sim_udf(F.col(text_col)).alias("simhash"))

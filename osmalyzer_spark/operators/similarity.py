@@ -180,6 +180,80 @@ def ivf_assignments_col(
     return assign(F.col(vec_col))
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 5,
+    seed: int = 29,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded Lloyd's k-means over a vector column, as DataFrame passes.
+
+    Production coarse quantizer for IVF (the deterministic id-based
+    stand-in remains the oracle-gate path). Scale shape: each iteration is
+    ONE distributed pass — a mapInPandas stage computes per-Arrow-batch
+    partial (cluster, sum, count) rows against the broadcast centroid
+    matrix (k x dim, tiny), and only those partials (O(batches * k) rows)
+    reach the driver for the numpy reduce. No shuffle of the vectors.
+
+    Deterministic: init picks the n_centroids rows with the smallest
+    xxhash64(id, seed) — a seeded uniform draw computed as a distributed
+    top-k (TakeOrdered, no global sort) — assignment ties break to the
+    lowest cluster index, and empty clusters keep their previous centroid.
+
+    Returns (cent_ids = arange(n_centroids), cent_mat float64 (k, dim)).
+    """
+    seed_rows = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn("__h", F.xxhash64(F.col("__id"), F.lit(seed)))
+        .orderBy("__h", "__id")
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(seed_rows) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} rows to seed k-means, got {len(seed_rows)}"
+        )
+    cent = np.array([r["__v"] for r in seed_rows], dtype=np.float64)
+    vecs = df.select(F.col(vec_col).alias("__v"))
+
+    for _ in range(n_iter):
+        c = cent  # bind current value into the closure
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf["__v"]), dtype=np.float64)
+                d = (
+                    (mat * mat).sum(axis=1, keepdims=True)
+                    - 2.0 * (mat @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                cid = np.argmin(d, axis=1)  # first occurrence == lowest index
+                rows = []
+                for ci in np.unique(cid):
+                    sel = mat[cid == ci]
+                    rows.append((int(ci), sel.sum(axis=0).tolist(), int(sel.shape[0])))
+                yield pd.DataFrame(rows, columns=["cid", "s", "n"])
+
+        agg = vecs.mapInPandas(partials, "cid int, s array<double>, n long").collect()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in agg:
+            sums[r["cid"]] += np.asarray(r["s"])
+            counts[r["cid"]] += r["n"]
+        nonempty = counts > 0
+        new_cent = cent.copy()  # empty clusters keep their centroid
+        new_cent[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if np.allclose(new_cent, cent, rtol=0, atol=1e-12):
+            cent = new_cent
+            break
+        cent = new_cent
+    return np.arange(n_centroids, dtype=np.int64), cent
+
+
 def cosine_topk_ivf(
     candidates: DataFrame,
     probes: DataFrame,
@@ -188,26 +262,39 @@ def cosine_topk_ivf(
     nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: str = "by_id",
+    kmeans_iter: int = 5,
+    kmeans_seed: int = 29,
 ) -> DataFrame:
     """IVF ANN: coarse quantizer buckets + exact cosine rerank.
 
-    The centroid set here is DETERMINISTIC — the rows with id <
-    n_centroids (quantized like the signatures) — so assignment is an
-    exact integer argmin reproducible in plain SQL for the oracle gate;
-    a production deployment swaps in k-means centroids, and every other
-    stage (broadcast assignment matmul, inverted-list bucket join,
-    exact rerank) is unchanged. Candidates land in their single nearest
+    centroids="by_id" (the oracle-gate path): the centroid set is
+    DETERMINISTIC — the rows with id < n_centroids (quantized like the
+    signatures) — so assignment is an exact integer argmin reproducible in
+    plain SQL. centroids="kmeans": seeded Lloyd's iterations
+    (kmeans_centroids) — the production quantizer; recall vs brute force
+    at equal nprobe is asserted in tests. Every other stage (broadcast
+    assignment matmul, inverted-list bucket join, exact rerank) is
+    identical between the two. Candidates land in their single nearest
     list; probes search their nprobe nearest lists. Output schema
     matches the brute-force/LSH paths: (probe_id, cand_id, cosine, rank).
     """
-    cent_rows = sorted(
-        candidates.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).collect(),
-        key=lambda r: r[id_col],
-    )
-    cent_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
-    cent_q = np.floor(
-        np.array([r[vec_col] for r in cent_rows], dtype=np.float64) * QUANT
-    ).astype(np.int64)
+    if centroids == "kmeans":
+        cent_ids, cent_mat = kmeans_centroids(
+            candidates, n_centroids, id_col, vec_col, kmeans_iter, kmeans_seed
+        )
+        cent_q = np.floor(cent_mat * QUANT).astype(np.int64)
+    elif centroids == "by_id":
+        cent_rows = sorted(
+            candidates.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).collect(),
+            key=lambda r: r[id_col],
+        )
+        cent_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
+        cent_q = np.floor(
+            np.array([r[vec_col] for r in cent_rows], dtype=np.float64) * QUANT
+        ).astype(np.int64)
+    else:
+        raise ValueError(f"centroids must be 'by_id' or 'kmeans', got {centroids!r}")
 
     c = candidates.select(
         F.col(id_col).alias("cand_id"),

@@ -230,3 +230,106 @@ def test_cosine_ivf_subset_of_bruteforce(spark, emb):
     ivf = cosine_topk_ivf(emb, probes, k=3, n_centroids=8, nprobe=2).collect()
     for r in ivf:
         assert exact[(r["probe_id"], r["cand_id"])] == pytest.approx(r["cosine"], abs=1e-6)
+
+
+def test_kmeans_centroids_deterministic_and_converging(spark, emb):
+    from osmalyzer_spark.operators.similarity import kmeans_centroids
+
+    ids1, c1 = kmeans_centroids(emb, 8, n_iter=5, seed=29)
+    ids2, c2 = kmeans_centroids(emb, 8, n_iter=5, seed=29)
+    assert (ids1 == ids2).all() and np.allclose(c1, c2)  # seeded == repeatable
+    # centroids are means of their assigned vectors: the within-cluster
+    # sum of squares must not exceed the init assignment's
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows])
+
+    def wcss(cent):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    _, c0 = kmeans_centroids(emb, 8, n_iter=0, seed=29)
+    assert wcss(c1) <= wcss(c0) + 1e-9
+
+
+def test_kmeans_ivf_recall_vs_deterministic(spark, emb):
+    """At equal nprobe, the k-means quantizer's planted-neighbor recall
+    must match or beat the deterministic id-based stand-in (same pipeline
+    otherwise) — the VERDICT r2 acceptance for the production path."""
+    from osmalyzer_spark.operators.similarity import cosine_topk_ivf
+
+    probes = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+
+    def top1(centroids):
+        got = cosine_topk_ivf(
+            emb, probes, k=2, n_centroids=8, nprobe=2, centroids=centroids
+        ).collect()
+        want = {0: 300, 1: 301, 2: 302}
+        return sum(
+            1 for r in got if r["rank"] == 1 and want[r["probe_id"]] == r["cand_id"]
+        )
+
+    km, by_id = top1("kmeans"), top1("by_id")
+    assert km == 3  # near-identical vectors share a Voronoi cell
+    assert km >= by_id
+
+
+def test_kmeans_ivf_cosines_exact(spark, emb):
+    """k-means changes WHICH pairs are searched, never the scores."""
+    from osmalyzer_spark.operators.similarity import cosine_topk_ivf
+
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["probe_id"], r["cand_id"]): r["cosine"]
+        for r in cosine_topk_bruteforce(emb, probes, k=64).collect()
+    }
+    for r in cosine_topk_ivf(
+        emb, probes, k=3, n_centroids=8, nprobe=2, centroids="kmeans"
+    ).collect():
+        assert exact[(r["probe_id"], r["cand_id"])] == pytest.approx(
+            r["cosine"], abs=1e-6
+        )
+
+
+def test_md5_batch_bit_parity_with_hashlib():
+    import hashlib
+    import os
+    import random
+
+    from osmalyzer_spark.functions.md5 import md5_lower64_batch, md5_lower64_ranges
+
+    random.seed(3)
+    msgs = [b"", b"a", "šis ir tests".encode(), b"x" * 55, b"y" * 56, b"z" * 130]
+    msgs += [os.urandom(random.randint(0, 90)) for _ in range(300)]
+    want = np.array(
+        [int.from_bytes(hashlib.md5(m).digest()[8:], "little") for m in msgs],
+        dtype=np.uint64,
+    )
+    assert (md5_lower64_batch(msgs) == want).all()
+    # ranges API over one concatenated buffer
+    flat = np.frombuffer(b"".join(msgs), dtype=np.uint8)
+    lens = np.array([len(m) for m in msgs], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+    assert (md5_lower64_ranges(flat, starts, lens) == want).all()
+    assert len(md5_lower64_batch([])) == 0
+
+
+def test_batch_shingle_spans_match_single_doc_path():
+    from osmalyzer_spark.functions.md5 import md5_lower64_ranges
+    from osmalyzer_spark.operators.dedup import _batch_shingle_spans, _shingle_hashes
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "",
+        "one",
+        "divi vārdi",
+        "a  b   c",  # multi-space: empties dropped
+        "ū ī š ķ ģ",  # multi-byte UTF-8 tokens
+    ]
+    for k in (1, 2, 3, 5):
+        flat, starts, lens, counts = _batch_shingle_spans(texts, k)
+        hashes = md5_lower64_ranges(flat, starts, lens)
+        pos = 0
+        for t, c in zip(texts, counts):
+            got = np.unique(hashes[pos : pos + c])
+            pos += c
+            assert (got == _shingle_hashes(t, k)).all(), (t, k)

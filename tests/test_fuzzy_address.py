@@ -404,3 +404,41 @@ def test_address_geocode_analyzer(spark):
     assert out[11]["kind"] == "geocoded" and out[11]["lat"] == pytest.approx(57.50)
     assert out[12]["kind"] == "ungeocodable"
     assert out[13]["kind"] == "ungeocodable"
+
+
+def test_full_vocabulary_covers_previously_trimmed_names():
+    """Round-2 carried a trimmed KNOWN_* extract; these real places were
+    absent then (would have parsed Low/unresolved). The full tables from
+    known_names.py must resolve them High (VERDICT r2 item 8)."""
+    from osmalyzer_spark.functions.fuzzy_address import (
+        CITY, HIGH, MUNICIPALITY, PARISH, parse_fuzzy_address,
+    )
+
+    # cities missing from the trimmed 35-city list
+    for city in ("Kandava", "Ērgļi", "Viļaka", "Subate", "Durbe", "Pāvilosta"):
+        parts = parse_fuzzy_address(f"Skolas iela 2, {city}")
+        got = {(p.type, p.value): p.confidence for p in parts}
+        assert got.get((CITY, city)) == HIGH, (city, parts)
+    # towns missing from the trimmed 17-town list parse as City-typed parts
+    for town in ("Ķegums", "Ikšķile", "Ape", "Cesvaine", "Koknese"):
+        parts = parse_fuzzy_address(f"Liepu iela 1, {town}")
+        got = {(p.type, p.value): p.confidence for p in parts}
+        assert got.get((CITY, town)) == HIGH, (town, parts)
+    # parishes missing from the trimmed 28-parish list
+    for parish in ("Naujenes", "Zentenes", "Rundāles", "Vārkavas"):
+        parts = parse_fuzzy_address(f'"Kalni", {parish} pagasts')
+        got = {(p.type, p.value): p.confidence for p in parts}
+        assert got.get((PARISH, f"{parish} pagasts")) == HIGH, (parish, parts)
+
+
+def test_vocabulary_tables_complete():
+    from osmalyzer_spark.functions import known_names as kn
+
+    # counts from the public Wikipedia tables (KnownFuzzyNames.cs:5-8)
+    assert len(kn.MUNICIPALITIES) == 35
+    assert len(kn.CITIES) == 81
+    assert len(kn.TOWNS) >= 290
+    assert len(kn.PARISHES) >= 500
+    # no duplicates after the dedupe
+    for t in (kn.MUNICIPALITIES, kn.CITIES, kn.TOWNS, kn.PARISHES):
+        assert len(t) == len(set(t))

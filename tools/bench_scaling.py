@@ -30,6 +30,48 @@ R_DEFAULT = 1500.0
 TABLE_PATH = "/tmp/osmalyzer_scaling_images"
 
 
+def _spin_worker(start_t: float, stop_t: float, q) -> None:
+    """Fixed integer kernel; spins uncounted until start_t (so every core
+    is already busy when the measured window opens), then counts chunks."""
+    x, chunks = 1234567, 0
+    while time.time() < stop_t:
+        for _ in range(200_000):
+            x = (x * 1103515245 + 12345) % 2147483648
+        if time.time() >= start_t:
+            chunks += 1
+    q.put(chunks)
+
+
+def calibrate(cpus: int, seconds: float = 4.0) -> float:
+    """Per-core throughput (chunks/s) with exactly `cpus` busy cores.
+
+    This box exposes no cycle counters or cpufreq sysfs, so this fixed
+    CPU-bound kernel is the software clock: its per-core rate at k busy
+    cores tracks the effective core speed at that occupancy (turbo
+    down-clock shows up directly). Measured in the SAME process tree,
+    immediately before the Spark work of each leg, so the normalization
+    is same-machine-state, not a separate-day inference. All workers
+    warm-spin through a synchronized ramp before the counted window, so
+    occupancy is exactly `cpus` for the whole measurement.
+    """
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    start_t = time.time() + 1.5
+    stop_t = start_t + seconds
+    procs = [
+        ctx.Process(target=_spin_worker, args=(start_t, stop_t, q))
+        for _ in range(cpus)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+    total = sum(q.get() for _ in procs)
+    return round(total / (cpus * seconds), 2)
+
+
 def ensure_table(n: int) -> str:
     """Write the images table once (shared input for both children)."""
     path = f"{TABLE_PATH}_{n}"
@@ -51,6 +93,11 @@ def child(cpus: int, n: int, radius: float) -> None:
     from osmalyzer_spark.operators.correlator import CorrelatorParams, correlate
     from osmalyzer_spark.operators.knn import radius_join
     from osmalyzer_spark.session import get_spark
+
+    # software-clock sample at this leg's exact occupancy, before the JVM
+    # exists (idle machine otherwise) — used for calibration-normalized
+    # efficiency in the parent
+    calib = calibrate(cpus)
 
     spark = get_spark(
         f"scaling-{cpus}",
@@ -108,6 +155,7 @@ def child(cpus: int, n: int, radius: float) -> None:
         + json.dumps(
             {
                 "cpus": cpus,
+                "calib_chunks_per_core_s": calib,
                 "n_elems": n_elems,
                 "n_items": n_items,
                 "n_pairs": n_pairs,
@@ -150,6 +198,10 @@ def main() -> None:
     assert r_lo["n_matched"] == r_hi["n_matched"], "correlator outputs differ!"
     eff_join = (r_lo["t_join_s"] / r_hi["t_join_s"]) / (hi / lo)
     eff_corr = (r_lo["t_correlator_s"] / r_hi["t_correlator_s"]) / (hi / lo)
+    # calibration-normalized: perfect scaling delivers equal work in
+    # software-clock units, T_lo*lo*calib_lo == T_hi*hi*calib_hi, so the
+    # fair bar shifts by the measured per-core slowdown at higher occupancy
+    clock_ratio = r_lo["calib_chunks_per_core_s"] / r_hi["calib_chunks_per_core_s"]
     print(
         json.dumps(
             {
@@ -159,6 +211,9 @@ def main() -> None:
                 "high": r_hi,
                 "scaling_efficiency_join": round(eff_join, 3),
                 "scaling_efficiency_correlator": round(eff_corr, 3),
+                "calib_per_core_slowdown_lo_over_hi": round(clock_ratio, 3),
+                "scaling_efficiency_join_clock_normalized": round(eff_join * clock_ratio, 3),
+                "scaling_efficiency_correlator_clock_normalized": round(eff_corr * clock_ratio, 3),
                 "identical_outputs": True,
             },
             indent=2,
