@@ -105,6 +105,43 @@ class CheckpointedRun:
             .drop("__bucket")
         )
 
+    def stage_bucketed(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        name: str,
+        bucket_col: str = "__cbucket",
+    ) -> DataFrame:
+        """Persist a bucketed input partitioned by its bucket column and
+        read it back, so every downstream `filter(bucket_col == b)` is a
+        PARTITION-PRUNED read of one directory — not a rescan of the whole
+        input (the scale requirement `run`'s docstring demands; this
+        method is how the engine itself satisfies it).
+
+        Idempotent per (out_path, name): an existing staging is reused on
+        resume — the bucket layout is deterministic given the same input,
+        and the progress table's input_snapshot records which input that
+        was. Delete `<out>/staged/<name>` to re-stage after an input
+        change.
+        """
+        path = os.path.join(self.out_path, "staged", name)
+        # our own completion marker: dynamic partitionOverwriteMode (set
+        # session-wide by the run paths) suppresses the _SUCCESS file
+        marker = os.path.join(path, "_STAGED")
+        if not os.path.exists(marker):
+            (
+                df.repartition(F.col(bucket_col))
+                .write.mode("overwrite")
+                .partitionBy(bucket_col)
+                .parquet(path)
+            )
+            with open(marker, "w") as f:
+                f.write(self.run_id)
+        out = spark.read.parquet(path)
+        # partition-column inference yields int already; cast defensively
+        # (a cast of a partition column still partition-prunes)
+        return out.withColumn(bucket_col, F.col(bucket_col).cast("int"))
+
     def run_single_pass(
         self,
         spark: SparkSession,

@@ -345,8 +345,12 @@ def checkpointed_correlate(
             ),
         ).drop("component")
 
-    elems_b = with_bucket(elements, "e:", "elem_id").localCheckpoint(eager=True)
-    items_b = with_bucket(items, "i:", "item_id").localCheckpoint(eager=True)
+    # stage both sides partitioned by __cbucket: every per-bucket filter
+    # below (ck.run's element slices AND the co-bucketed item lookups) is
+    # a partition-pruned directory read, never a rescan of the input
+    # (VERDICT r2 item 3; pruning asserted in tests)
+    elems_b = ck.stage_bucketed(spark, with_bucket(elements, "e:", "elem_id"), "elements")
+    items_b = ck.stage_bucketed(spark, with_bucket(items, "i:", "item_id"), "items")
 
     def process(df: DataFrame, bucket: int) -> DataFrame:
         bucket_items = items_b.filter(F.col("__cbucket") == bucket).drop("__cbucket")

@@ -505,9 +505,10 @@ def q26_sharp_angles(spark, sf_dir):
 
 def q27_correlator(spark, sf_dir):
     """J4 flagship: full correlator over synthetic geo views (suppliers as
-    items, customers as elements). Iterative mutual-best assignment is not
-    SQL-expressible — rows-only driver check; semantics verified in pytest
-    against the sequential oracle (tests/test_correlator.py)."""
+    items, customers as elements). Fully hash-verified: the oracle replays
+    synchronous Gale-Shapley as a recursive CTE (valid because the DA
+    fixed point is order-independent); pytest additionally checks the
+    sequential oracle on randomized fixtures (tests/test_correlator.py)."""
     from osmalyzer_spark.operators.correlator import CorrelatorParams, correlate
 
     elements = _geo_customers(spark, sf_dir).withColumn(
@@ -540,8 +541,10 @@ def q27_correlator(spark, sf_dir):
 
 def q28_clean_corpus(spark, sf_dir):
     """Training-data composite: quality gate -> exact dedup -> MinHash
-    near-dup collapse, reported as per-stage row counts (deterministic;
-    rows-only driver check — hash-family ops inside)."""
+    near-dup collapse, reported as per-stage row counts. Fully
+    hash-verified: the oracle replays every stage in SQL, including the
+    md5/multiply-shift hash family and the reachability-closure connected
+    components."""
     from osmalyzer_spark.plans.pipeline import clean_corpus
 
     docs = _t(spark, sf_dir, "documents")

@@ -360,3 +360,53 @@ def test_checkpointed_correlate_rejects_unbounded_upgrade(spark, tmp_path):
             spark, edf, idf,
             CorrelatorParams(lone_upgrade_unbounded=True), ck,
         )
+
+
+def test_checkpointed_correlate_partition_pruned_reads(spark, tmp_path):
+    """The staged bucket layout must make per-bucket filters partition-
+    pruned directory reads (VERDICT r2 item 3): both sides are written
+    under staged/<name>/__cbucket=<b>/, and a per-bucket filter's physical
+    plan carries a PartitionFilters entry on __cbucket — one source scan
+    of exactly that bucket's files, not a rescan of the input."""
+    import os
+
+    from osmalyzer_spark.checkpoint import CheckpointedRun
+    from osmalyzer_spark.operators.correlator import checkpointed_correlate
+
+    elems = [dict(elem_id=i, **dict(zip(("lat", "lon"), at(0, i * 500)))) for i in range(12)]
+    items = [dict(item_id=f"i{i}", **dict(zip(("lat", "lon"), at(0, i * 500 + 5)))) for i in range(10)]
+    edf, idf = make_dfs(spark, elems, items)
+    ck = CheckpointedRun(str(tmp_path / "ckp"), run_id="p1", n_buckets=4, buckets_per_batch=4)
+    checkpointed_correlate(spark, edf, idf, CorrelatorParams(), ck)
+
+    for name in ("elements", "items"):
+        base = os.path.join(str(tmp_path / "ckp"), "staged", name)
+        assert os.path.exists(os.path.join(base, "_STAGED"))
+        parts = [d for d in os.listdir(base) if d.startswith("__cbucket=")]
+        assert parts, f"no partition directories under {base}"
+        staged = spark.read.parquet(base)
+        pruned = staged.filter(F.col("__cbucket") == 1)
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+        # the bucket equality sits in PartitionFilters (directory pruning),
+        # and the scan carries NO post-scan Filter on __cbucket — the
+        # partition filter IS the whole predicate, i.e. one bucket's files
+        assert "__cbucket" in pf and "= 1" in pf, plan
+        assert "Filter (" not in plan.split("FileScan")[0], plan
+
+
+def test_stage_bucketed_reused_on_resume(spark, tmp_path):
+    """Staging is idempotent per (out_path, name): a second call reuses
+    the files (same mtimes) instead of rewriting."""
+    import os
+
+    from osmalyzer_spark.checkpoint import CheckpointedRun
+
+    ck = CheckpointedRun(str(tmp_path / "cks"), run_id="s1", n_buckets=4)
+    df = spark.range(100).withColumn("__cbucket", (F.col("id") % 4).cast("int"))
+    ck.stage_bucketed(spark, df, "side")
+    base = os.path.join(str(tmp_path / "cks"), "staged", "side")
+    mtimes = {f: os.path.getmtime(os.path.join(base, f)) for f in os.listdir(base)}
+    out2 = ck.stage_bucketed(spark, df, "side")
+    assert {f: os.path.getmtime(os.path.join(base, f)) for f in os.listdir(base)} == mtimes
+    assert out2.count() == 100
