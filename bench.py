@@ -65,6 +65,7 @@ def main() -> None:
         "q29_fuzzy_parse": dq.q29_fuzzy_parse,
         "q31_opening_hours": dq.q31_opening_hours,
         "q32_ivf_ann": dq.q32_ivf_ann,
+        "q33_pt_pipeline": dq.q33_pt_pipeline,
         "flagship_correlator": flagship_correlator,
     }
 

@@ -649,6 +649,126 @@ def q30_fuzzy_geocode(spark, sf_dir):
     )
 
 
+def q33_pt_pipeline(spark, sf_dir):
+    """End-to-end PublicTransportAnalyzer composite (J7 + J8 + W2 + stop
+    name cleaning; PublicTransportAnalyzer.cs:333-669): synthetic GTFS
+    route variants and OSM route relations derive deterministically from
+    customer (25 routes of up-to-10 stops each); OSM stop names carry the
+    reference's real-world decorations (quotes, case changes, trailing
+    "(...)" qualifiers, plus every 3rd stop renamed entirely) which
+    clean_stop_name canonicalizes; score_route_matches assigns variants
+    to relations (cell-bucketed centroid prefilter + exact-integer
+    positional score + the shared deferred-acceptance takeover loop), and
+    stop_gap_pairs repairs each unmatched OSM stop against the GTFS
+    successor of its previous matched stop. One row per matched relation:
+    (route_rel_id, variant_id, score, n_gap_repairs)."""
+    from pyspark.sql import Window
+
+    from osmalyzer_spark.sources.gtfs import (
+        clean_stop_name,
+        score_route_matches,
+        stop_gap_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("grp").orderBy("c_custkey")
+    base = (
+        cust.select("c_custkey", (F.col("c_custkey") % 25).alias("grp"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .withColumn("i", (F.col("rn") - 1).cast("int"))
+        .withColumn("gname", F.concat(F.lit("Stop "), F.col("c_custkey") % 40))
+        .withColumn("glat", F.lit(56.5) + (F.col("c_custkey") * 7 % 1000) / F.lit(1e4))
+        .withColumn("glon", F.lit(24.0) + (F.col("c_custkey") * 13 % 1000) / F.lit(1e4))
+        .withColumn(
+            "oname",
+            F.when(
+                F.col("i") % 3 == 1, F.concat(F.lit("X-"), F.col("c_custkey"))
+            ).otherwise(
+                F.concat(F.lit('"'), F.upper("gname"), F.lit('" (centrs)'))
+            ),
+        )
+        .withColumn("olat", F.col("glat") + F.lit(1.5e-4))
+        .withColumn("olon", F.col("glon"))
+    )
+
+    def side(name_col, lat_col, lon_col, id_off, prefix):
+        stops = F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("i"),
+                        clean_stop_name(F.col(name_col)).alias("name"),
+                        F.col(lat_col).alias("lat"),
+                        F.col(lon_col).alias("lon"),
+                    )
+                )
+            ),
+            lambda s: F.struct(
+                s["name"].alias("name"), s["lat"].alias("lat"), s["lon"].alias("lon")
+            ),
+        )
+        return base.groupBy("grp").agg(
+            stops.alias(f"{prefix}stops"),
+            F.avg(lat_col).alias(f"{prefix}clat"),
+            F.avg(lon_col).alias(f"{prefix}clon"),
+        ).select(
+            (F.col("grp") + id_off).alias(f"{prefix}id"),
+            f"{prefix}clat", f"{prefix}clon", f"{prefix}stops",
+        )
+
+    variants = side("gname", "glat", "glon", 0, "v_").selectExpr(
+        "v_id as variant_id", "v_clat as centroid_lat",
+        "v_clon as centroid_lon", "v_stops as stops",
+    )
+    relations = side("oname", "olat", "olon", 1000, "r_").selectExpr(
+        "r_id as route_rel_id", "r_clat as centroid_lat2",
+        "r_clon as centroid_lon2", "r_stops as stops2",
+    )
+    matched = score_route_matches(spark, variants, relations, accept_score=0.4)
+
+    gtfs_pos = base.select(
+        F.col("grp").alias("variant_id"), "i",
+        clean_stop_name("gname").alias("gcname"),
+        F.col("glat").alias("gtfs_lat"), F.col("glon").alias("gtfs_lon"),
+        F.col("c_custkey").alias("gtfs_stop_id"),
+    )
+    osm_pos = base.select(
+        (F.col("grp") + 1000).alias("route_rel_id"), F.col("i").alias("oi"),
+        clean_stop_name("oname").alias("ocname"),
+        F.col("olat").alias("osm_lat"), F.col("olon").alias("osm_lon"),
+        (F.col("c_custkey") + 500000).alias("osm_stop_id"),
+    )
+    route_stops = (
+        matched.join(osm_pos, "route_rel_id")
+        .join(
+            gtfs_pos.withColumnRenamed("i", "oi"),
+            ["variant_id", "oi"],
+        )
+        .select(
+            F.col("route_rel_id").alias("route_id"),
+            F.col("oi").alias("seq"),
+            "osm_stop_id", "osm_lat", "osm_lon",
+            "gtfs_stop_id", "gtfs_lat", "gtfs_lon",
+            (F.col("ocname") == F.col("gcname")).alias("matched"),
+        )
+    )
+    gaps = stop_gap_pairs(route_stops, max_gap_m=70.0)
+    gap_counts = gaps.groupBy("route_id").agg(
+        F.count(F.lit(1)).alias("n_gap_repairs")
+    )
+    return (
+        matched.join(
+            gap_counts, matched["route_rel_id"] == gap_counts["route_id"], "left"
+        )
+        .select(
+            "route_rel_id", "variant_id",
+            F.round("score", 4).alias("score"),
+            F.coalesce("n_gap_repairs", F.lit(0)).cast("long").alias("n_gap_repairs"),
+        )
+    )
+
+
 def q32_ivf_ann(spark, sf_dir):
     """ANN scale path 2 (IVF): deterministic coarse-quantizer buckets
     (exact integer-quantized L2 assignment) + nprobe list search + exact
@@ -942,7 +1062,121 @@ def _clean_corpus_oracle_sql(
     """
 
 
+def _clean_name_sql(x: str) -> str:
+    """DuckDB replay of gtfs.clean_stop_name (RE2-compatible by design)."""
+    c = f"lower({x})"
+    c = f"regexp_replace({c}, '\\s{{2,}}', ' ', 'g')"
+    c = f"regexp_replace({c}, ' \\([^()]+\\)$', '')"
+    c = f"regexp_replace({c}, ' \\[[^\\[\\]]+\\]$', '')"
+    c = f"replace({c}, '\"', '')"
+    c = f"regexp_replace({c}, '([./-])', ' \\1 ', 'g')"
+    return f"regexp_replace({c}, '\\s{{2,}}', ' ', 'g')"
+
+
+def _q33_oracle_sql() -> str:
+    """Replays the whole PT composite: synthesis, name cleaning, centroid
+    prefilter, the exact-integer positional score (one IEEE division —
+    bit-equal to Spark), the GS takeover loop as a recursive CTE (q27's
+    template with score-descending preferences), and the gap repair."""
+    cent_dist = haversine_sql("vc.clat", "vc.clon", "oc.clat2", "oc.clon2")
+    gap_dist = haversine_sql("p.olat", "p.olon", "nxt.glat", "nxt.glon")
+    return f"""
+        WITH RECURSIVE ranked AS (
+          SELECT c_custkey, c_custkey % 25 AS grp,
+                 row_number() OVER (PARTITION BY c_custkey % 25 ORDER BY c_custkey) - 1 AS i
+          FROM customer
+        ), base AS (
+          SELECT c_custkey, grp, CAST(i AS INTEGER) AS i,
+                 'Stop ' || (c_custkey % 40) AS gname,
+                 56.5e0 + ((c_custkey * 7) % 1000) / 10000.0e0 AS glat,
+                 24.0e0 + ((c_custkey * 13) % 1000) / 10000.0e0 AS glon,
+                 CASE WHEN i % 3 = 1 THEN 'X-' || c_custkey
+                      ELSE '"' || upper('Stop ' || (c_custkey % 40)) || '" (centrs)'
+                 END AS oname
+          FROM ranked WHERE i < 10
+        ), b2 AS (
+          SELECT *, glat + 0.00015e0 AS olat, glon AS olon,
+                 {_clean_name_sql('gname')} AS gcname,
+                 {_clean_name_sql('oname')} AS ocname
+          FROM base
+        ), vc AS (
+          SELECT grp AS v, avg(glat) AS clat, avg(glon) AS clon, count(*) AS nv
+          FROM b2 GROUP BY grp
+        ), oc AS (
+          SELECT grp + 1000 AS r, avg(olat) AS clat2, avg(olon) AS clon2, count(*) AS no
+          FROM b2 GROUP BY grp
+        ), prs AS (
+          SELECT v, r, greatest(nv, no) AS n
+          FROM vc CROSS JOIN oc
+          WHERE {cent_dist} <= 50000.0e0
+        ), contrib AS (
+          SELECT p.v, p.r, p.n, g.i,
+                 max(CASE WHEN o.ocname = g.gcname THEN p.n - abs(g.i - o.i) END) AS best
+          FROM prs p
+          JOIN b2 g ON g.grp = p.v
+          LEFT JOIN b2 o ON o.grp + 1000 = p.r AND o.ocname = g.gcname
+          GROUP BY p.v, p.r, p.n, g.i
+        ), cand AS (
+          SELECT v, r, CAST(sum(coalesce(best, 0)) AS DOUBLE) / (n * n) AS score
+          FROM contrib GROUP BY v, r, n
+          HAVING CAST(sum(coalesce(best, 0)) AS DOUBLE) / (n * n) > 0.4e0
+        ), gs AS (
+          SELECT v, r, score, FALSE AS rejected, 0 AS it FROM cand
+          UNION ALL
+          SELECT v, r, score,
+                 rejected OR (proposing AND NOT winner) AS rejected,
+                 it + 1 AS it
+          FROM (
+            SELECT q3.*,
+                   sum(CASE WHEN proposing AND NOT winner THEN 1 ELSE 0 END) OVER () AS n_lost
+            FROM (
+              SELECT q2.*,
+                     proposing AND row_number() OVER (
+                       PARTITION BY r, proposing
+                       ORDER BY score DESC, v ASC) = 1 AS winner
+              FROM (
+                SELECT s.*,
+                       (NOT s.rejected) AND row_number() OVER (
+                         PARTITION BY s.v
+                         ORDER BY s.rejected ASC, s.score DESC, s.r ASC) = 1 AS proposing
+                FROM gs s
+              ) q2
+            ) q3
+          ) w
+          WHERE n_lost > 0
+        ), matched AS (
+          SELECT v, r, score FROM (
+            SELECT s.*, row_number() OVER (PARTITION BY v ORDER BY score DESC, r) AS rn
+            FROM (SELECT * FROM gs WHERE it = (SELECT max(it) FROM gs)) s
+            WHERE NOT rejected
+          ) WHERE rn = 1
+        ), rs AS (
+          SELECT m.r, m.v, o.i AS seq, o.olat, o.olon, g.glat, g.glon,
+                 (o.ocname = g.gcname) AS matched_stop
+          FROM matched m
+          JOIN b2 o ON o.grp + 1000 = m.r
+          JOIN b2 g ON g.grp = m.v AND g.i = o.i
+        ), prevm AS (
+          SELECT *, max(CASE WHEN matched_stop THEN seq END) OVER (
+            PARTITION BY r ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_seq
+          FROM rs
+        ), gaps AS (
+          SELECT p.r, count(*) AS n_gaps
+          FROM prevm p JOIN rs nxt ON nxt.r = p.r AND nxt.seq = p.prev_seq + 1
+          WHERE NOT p.matched_stop AND p.prev_seq IS NOT NULL
+            AND {gap_dist} <= 70.0e0
+          GROUP BY p.r
+        )
+        SELECT m.r AS route_rel_id, m.v AS variant_id,
+               round(m.score, 4) AS score,
+               coalesce(g.n_gaps, 0) AS n_gap_repairs
+        FROM matched m LEFT JOIN gaps g ON g.r = m.r
+    """
+
+
 _ORACLES: dict[str, str] = {
+    "q33_pt_pipeline": _q33_oracle_sql(),
     "q01_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
@@ -1479,6 +1713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_fuzzy_geocode": q30_fuzzy_geocode,
         "q31_opening_hours": q31_opening_hours,
         "q32_ivf_ann": q32_ivf_ann,
+        "q33_pt_pipeline": q33_pt_pipeline,
     }
 
 

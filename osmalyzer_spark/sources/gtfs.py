@@ -121,6 +121,27 @@ def read_gtfs_stop_times(spark: SparkSession, path: str) -> DataFrame:
     ).filter(F.col("stop_seq").isNotNull())
 
 
+def clean_stop_name(col) -> F.Column:
+    """The reference's stop-name canonicalization (CleanName,
+    PublicTransportAnalyzer.cs:791-824): lowercase, collapse repeated
+    whitespace, strip one trailing " (...)" (OSM) and " [...]" (GTFS)
+    qualifier, drop quote characters, and space-pad . / - characters.
+
+    Padding is expressed as pad-both-sides + re-collapse (RE2-compatible,
+    so the DuckDB oracle can replay it verbatim) — equivalent to the
+    reference's lookaround form on space-collapsed input; the final
+    collapse also canonicalizes doubles left by quote removal (a strict
+    normalization the reference skips).
+    """
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"\s{2,}", " ")
+    c = F.regexp_replace(c, r" \([^()]+\)$", "")
+    c = F.regexp_replace(c, r" \[[^\[\]]+\]$", "")
+    c = F.regexp_replace(c, '"', "")
+    c = F.regexp_replace(c, r"([./-])", r" $1 ")
+    return F.regexp_replace(c, r"\s{2,}", " ")
+
+
 def route_variants(stop_times: DataFrame, min_stops: int = 2) -> DataFrame:
     """Group trips by exact ordered stop sequence (A8). Output:
     (stop_seq_key, stops array, n_trips, example_trip). Degenerate
@@ -217,7 +238,12 @@ def score_route_matches(
         dist_col="__centroid_dist_m",
     ).drop("__centroid_dist_m")
     # positional score, all native: for each variant stop i, the best
-    # name-matched osm stop j contributes 1 - |i - j| / n
+    # name-matched osm stop j contributes 1 - |i - j| / n; the total is
+    # computed as an EXACT integer numerator S = sum_i max_j (n - |i-j|)
+    # followed by ONE double division S / n^2 — algebraically identical,
+    # and deterministic across engines (an order-dependent double
+    # summation is not; a single IEEE division of exact integers is),
+    # which is what lets the q33 oracle replay scores bit-for-bit
     n = F.greatest(F.size("stops"), F.size("stops2"))
     i_idx = F.sequence(F.lit(0), F.size("stops") - 1)
     per_stop = F.transform(
@@ -229,14 +255,16 @@ def score_route_matches(
                     F.sequence(F.lit(0), F.size("stops2") - 1),
                     lambda s2, j: F.when(
                         s2["name"] == F.element_at(F.col("stops"), i + 1)["name"],
-                        F.lit(1.0) - F.abs(i - j) / n,
-                    ).otherwise(F.lit(None).cast("double")),
+                        n - F.abs(i - j),
+                    ).otherwise(F.lit(None).cast("int")),
                 )
             ),
-            F.lit(0.0),
+            F.lit(0),
         ),
     )
-    score = F.aggregate(per_stop, F.lit(0.0), lambda a, x: a + x) / n
+    score = (
+        F.aggregate(per_stop, F.lit(0), lambda a, x: a + x).cast("double") / (n * n)
+    )
     scored = (
         pairs.withColumn("score", score)
         .filter(F.col("score") > accept_score)

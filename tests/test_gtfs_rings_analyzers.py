@@ -221,3 +221,25 @@ def test_bank_location_analyzer(spark):
     br = br_res.matched.collect()
     assert [(r["item_id"], r["elem_id"]) for r in br] == [("b1", 3)]
     assert br[0]["strength"] == 3  # address match -> Strong
+
+
+def test_clean_stop_name_reference_examples(spark):
+    """The CleanName cases cited in PublicTransportAnalyzer.cs:791-824."""
+    from osmalyzer_spark.sources.gtfs import clean_stop_name
+
+    # canonical form pads BOTH sides of ./- (the lookaround original
+    # converges to the same form from either spelling: "18.Novembra" and
+    # "18. novembra" both clean to "18 . novembra")
+    cases = [
+        ("18.Novembra iela", "18 . novembra iela"),   # Rezekne case + dot pad
+        ("DS  Salūts", "ds salūts"),                # double space
+        ("Majoru stacija (Majori)", "majoru stacija"),      # OSM parens
+        ("Promenādes iela [Rīgas iela]", "promenādes iela"),  # GTFS brackets
+        ('Arēna "Rīga"', "arēna rīga"),             # quotes
+        ("TEC-2 pārvalde", "tec - 2 pārvalde"),     # dash pad
+        ("P.Lejiņa iela", "p . lejiņa iela"),
+        ("Upesgrīvas iela/ Spice", "upesgrīvas iela / spice"),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in cases], "raw string")
+    got = [r["c"] for r in df.select(clean_stop_name(F.col("raw")).alias("c")).collect()]
+    assert got == [w for _, w in cases]
