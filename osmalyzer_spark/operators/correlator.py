@@ -303,7 +303,7 @@ def checkpointed_correlate(
     Returns the unified correlations DataFrame (== correlate(...)
     .correlations on the same inputs).
     """
-    from osmalyzer_spark.operators.dedup import connected_components_greedy
+    from osmalyzer_spark.operators.dedup import connected_components_star
 
     p = params or CorrelatorParams()
     if p.match_anywhere:
@@ -328,7 +328,11 @@ def checkpointed_correlate(
         F.concat(F.lit("i:"), F.col("item_id").cast("string")).alias("id_a"),
         F.concat(F.lit("e:"), F.col("elem_id").cast("string")).alias("id_b"),
     )
-    comps = connected_components_greedy(pairs, max_iter=cc_max_iter)
+    # two-phase star CC: O(log n) rounds regardless of component diameter
+    # (min-label propagation is O(diameter) — a dense hotspot component's
+    # diameter ~ extent/seek, measured in BENCH.md; the star algorithm's
+    # round count is 8 on the 1M/775 m giant component, measured)
+    comps = connected_components_star(pairs, max_iter=cc_max_iter)
 
     def with_bucket(df: DataFrame, prefix: str, id_col: str) -> DataFrame:
         key = F.concat(F.lit(prefix), F.col(id_col).cast("string"))

@@ -363,12 +363,108 @@ def ngram_jaccard_pairs(
     )
 
 
-def connected_components_greedy(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 50, with_rounds: bool = False
+):
+    """Connected components via alternating large-star / small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+    Components in MapReduce and Beyond", SoCC 2014): converges in
+    O(log n) rounds INDEPENDENT of component diameter, unlike min-label
+    propagation's O(diameter). This is the scale path for dense candidate
+    graphs (the Riga-hotspot case, where one geometric component can span
+    the whole extent and its diameter ~ extent/seek_distance — measured
+    in BENCH.md via tools/probe_components.py).
+
+    large-star: every node links its larger neighbors to the minimum of
+    its closed neighborhood; small-star: edges oriented to the larger
+    endpoint, which links its (smaller) neighbors and itself to that
+    minimum. The edge set converges to per-component stars rooted at the
+    component minimum; labels read off as min(closed neighborhood).
+
+    Output matches connected_components_greedy exactly: (id, component =
+    min id of the component); optionally ((id, component), rounds).
+    """
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def canonical(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = signature(e)
+    rounds_used = 0
+    for rounds_used in range(1, max_iter + 1):
+        # large-star
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        m = F.least("u", "mv")
+        e = canonical(
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("x"), m.alias("y"))
+        ).localCheckpoint(eager=True)
+        # small-star: orient every edge to its larger endpoint
+        big = e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        mins2 = big.groupBy("u").agg(F.min("v").alias("mv"))
+        linked = (
+            big.join(mins2, "u")
+            .filter(F.col("v") != F.col("mv"))
+            .select(F.col("v").alias("x"), F.col("mv").alias("y"))
+        )
+        selfs = mins2.select(F.col("u").alias("x"), F.col("mv").alias("y"))
+        e = canonical(linked.unionAll(selfs)).localCheckpoint(eager=True)
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    return_df = (
+        sym.groupBy("u")
+        .agg(F.least(F.first("u"), F.min("v")).alias("component"))
+        .select(F.col("u").alias("id"), "component")
+    )
+    return (return_df, rounds_used) if with_rounds else return_df
+
+
+def connected_components_greedy(
+    pairs: DataFrame, max_iter: int = 20, with_rounds: bool = False
+):
     """Union-find over dup pairs: map every id to the min id of its
     component. Min-label propagation converges in O(component diameter)
     rounds — fine for the short chains dedup produces; raises if a
     component's diameter exceeds max_iter instead of silently returning
-    split components. Output: (id, component)."""
+    split components. Output: (id, component), or ((id, component),
+    rounds_used) when with_rounds — tools/probe_components.py measures
+    rounds_used on the 1M candidate graph so the max_iter bound is
+    evidence, not hope (BENCH.md)."""
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = fwd.union(
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -380,7 +476,8 @@ def connected_components_greedy(pairs: DataFrame, max_iter: int = 20) -> DataFra
         .localCheckpoint(eager=True)
     )
     changed = 1
-    for _ in range(max_iter):
+    rounds_used = 0
+    for rounds_used in range(1, max_iter + 1):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "component")
@@ -402,4 +499,5 @@ def connected_components_greedy(pairs: DataFrame, max_iter: int = 20) -> DataFra
             f"connected_components_greedy did not converge in {max_iter} rounds "
             "(a duplicate chain is longer than max_iter); raise max_iter"
         )
-    return labels.select(F.col("node").alias("id"), "component")
+    out = labels.select(F.col("node").alias("id"), "component")
+    return (out, rounds_used) if with_rounds else out

@@ -212,6 +212,100 @@ def bank_location_analyzer(
     return run("atm", atm_items), run("bank", branch_items)
 
 
+def micro_reserve_analyzer(
+    spark: SparkSession,
+    elements: DataFrame,
+    reserve_shapefile: str | list[str],
+    search_distance_m: float = 300.0,
+) -> DataFrame:
+    """Micro-reserves report (MicroReservesAnalyzer.cs:15-126) over a
+    shapefile-sourced reserve table — the S7 source wired into a real
+    analyzer: read_shapefile parses the government GIS_OZOLS export
+    (.shp polygons -> WGS84 centroids + planar areas, .dbf attributes;
+    MicroReserveAnalysisData.cs:72-146), OSM candidates are ways tagged
+    leisure=nature_reserve or ways/relations tagged
+    boundary=protected_area, and each reserve takes its closest OSM
+    element within search_distance (GetClosestElementTo; ties by elem_id
+    — the reference breaks by iteration order).
+
+    elements: (elem_id, elem_lat, elem_lon, tags map [, kind]).
+    Returns one row per reserve — (kind: matched|unmatched_reserve,
+    reserve_fid, area_m2, osm_id, distance_m) — plus one
+    multi_match row per OSM element claimed by more than one reserve
+    (n stored in reserve_fid's place as NULL, count in n_reserves).
+    """
+    from osmalyzer_spark.functions.tags import has_value
+    from osmalyzer_spark.operators.knn import radius_join
+    from osmalyzer_spark.sources.shapefile import read_shapefile
+
+    reserves = read_shapefile(spark, reserve_shapefile).select(
+        F.col("fid").alias("item_id"),
+        F.col("cy").alias("item_lat"),
+        F.col("cx").alias("item_lon"),
+        F.col("area").alias("area_m2"),
+    )
+    is_way = (
+        F.col("kind") == "way" if "kind" in elements.columns else F.lit(True)
+    )
+    is_way_or_rel = (
+        F.col("kind").isin("way", "relation")
+        if "kind" in elements.columns
+        else F.lit(True)
+    )
+    osm = elements.filter(
+        (has_value("tags", "leisure", "nature_reserve") & is_way)
+        | (has_value("tags", "boundary", "protected_area") & is_way_or_rel)
+    ).select("elem_id", "elem_lat", "elem_lon")
+
+    cand = radius_join(
+        reserves,
+        osm,
+        search_distance_m,
+        probe_coords=("item_lat", "item_lon"),
+        build_coords=("elem_lat", "elem_lon"),
+        dist_col="dist_m",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item_id").orderBy("dist_m", "elem_id")
+    best = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("item_id", "area_m2", "elem_id", "dist_m")
+        .localCheckpoint(eager=True)
+    )
+    matched = best.select(
+        F.lit("matched").alias("kind"),
+        F.col("item_id").alias("reserve_fid"),
+        "area_m2",
+        F.col("elem_id").alias("osm_id"),
+        F.round("dist_m", 2).alias("distance_m"),
+        F.lit(1).cast("long").alias("n_reserves"),
+    )
+    unmatched = reserves.join(best.select("item_id"), "item_id", "left_anti").select(
+        F.lit("unmatched_reserve").alias("kind"),
+        F.col("item_id").alias("reserve_fid"),
+        "area_m2",
+        F.lit(None).cast("long").alias("osm_id"),
+        F.lit(None).cast("double").alias("distance_m"),
+        F.lit(1).cast("long").alias("n_reserves"),
+    )
+    multi = (
+        best.groupBy("elem_id")
+        .agg(F.count(F.lit(1)).alias("n_reserves"))
+        .filter(F.col("n_reserves") > 1)
+        .select(
+            F.lit("multi_match").alias("kind"),
+            F.lit(None).cast("long").alias("reserve_fid"),
+            F.lit(None).cast("double").alias("area_m2"),
+            F.col("elem_id").alias("osm_id"),
+            F.lit(None).cast("double").alias("distance_m"),
+            "n_reserves",
+        )
+    )
+    return matched.unionByName(unmatched).unionByName(multi)
+
+
 def addressables_from_elements(elements: DataFrame) -> DataFrame:
     """OSM elements -> the finder's addressables table
     (FuzzyAddressFinder.cs:227-330: filter HasKey('ref:LV:addr'), project

@@ -44,9 +44,22 @@ _POLYGON_TYPES = {5, 15, 25}
 
 _SCHEMA = (
     "fid long, stype int, x double, y double, cx double, cy double, "
-    "n_points int, rings array<array<struct<x:double,y:double>>>, "
+    "area double, n_points int, rings array<array<struct<x:double,y:double>>>, "
     "attrs map<string,string>"
 )
+
+
+def shape_area(stype: int, parts: list[list[tuple[float, float]]]) -> float:
+    """Planar polygon area in source-CRS units² (holes subtract via ring
+    orientation — NTS Geometry.Area semantics, which the reference stores
+    per reserve, MicroReserveAnalysisData.cs:224); 0 for non-polygons."""
+    if stype not in _POLYGON_TYPES or not parts:
+        return 0.0
+    a2 = 0.0
+    for ring in parts:
+        for (x0, y0), (x1, y1) in zip(ring, ring[1:]):
+            a2 += x0 * y1 - x1 * y0
+    return abs(a2) / 2.0
 
 
 # --------------------------------------------------------------------------
@@ -253,7 +266,7 @@ def read_shapefile(
     records_per_task: int = 4096,
     to_wgs84: bool | None = None,
 ):
-    """-> DataFrame(fid, stype, x, y, cx, cy, n_points, rings, attrs).
+    """-> DataFrame(fid, stype, x, y, cx, cy, area, n_points, rings, attrs).
 
     `base_paths`: one or many shapefile base paths (with or without .shp).
     Point records fill (x, y); all records fill the centroid (cx, cy) and
@@ -314,6 +327,7 @@ def read_shapefile(
                 rows.append(
                     [lo + k + 1, stype, x, y,
                      cent[0] if cent else None, cent[1] if cent else None,
+                     shape_area(stype, parts),
                      npts, [[(px, py) for px, py in p] for p in parts], None]
                 )
         if dbf is not None:
@@ -321,7 +335,7 @@ def read_shapefile(
                 f.seek(hdr_size + lo * rec_size)
                 blob = f.read((hi - lo) * rec_size)
             for k in range(hi - lo):
-                rows[k][8] = decode_dbf_record(
+                rows[k][9] = decode_dbf_record(
                     blob[k * rec_size : (k + 1) * rec_size], fields, encoding
                 )
         do_wgs84 = want_wgs84 if want_wgs84 is not None else (crs == "lks92")

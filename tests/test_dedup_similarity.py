@@ -333,3 +333,43 @@ def test_batch_shingle_spans_match_single_doc_path():
             got = np.unique(hashes[pos : pos + c])
             pos += c
             assert (got == _shingle_hashes(t, k)).all(), (t, k)
+
+
+def test_star_cc_matches_greedy_on_random_graphs(spark):
+    from osmalyzer_spark.operators.dedup import (
+        connected_components_greedy,
+        connected_components_star,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n, m = 60, 80
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n))) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        greedy = {(r["id"], r["component"])
+                  for r in connected_components_greedy(df, max_iter=64).collect()}
+        star = {(r["id"], r["component"])
+                for r in connected_components_star(df).collect()}
+        assert star == greedy, f"trial {trial}"
+
+
+def test_star_cc_long_chain_logarithmic_rounds(spark):
+    """A 200-node path: min-label propagation needs ~199 rounds (raises at
+    max_iter=20); the star algorithm converges in O(log n)."""
+    import pytest as _pytest
+
+    from osmalyzer_spark.operators.dedup import (
+        connected_components_greedy,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_greedy(chain, max_iter=20)
+    labels, rounds = connected_components_star(chain, with_rounds=True)
+    assert rounds <= 12, rounds
+    got = {(r["id"], r["component"]) for r in labels.collect()}
+    assert got == {(i, 0) for i in range(200)}

@@ -201,3 +201,51 @@ def test_read_shapefile_dbf_count_mismatch(tmp_path, spark):
         f.write(struct.pack("<I", 2))
     with pytest.raises(ValueError, match="records"):
         read_shapefile(spark, base)
+
+
+def test_shape_area_hole_subtracts():
+    from osmalyzer_spark.sources.shapefile import shape_area
+
+    assert shape_area(SHAPE_POLYGON, HOLED) == pytest.approx(96.0)
+    assert shape_area(SHAPE_POINT, [[(1.0, 2.0)]]) == 0.0
+
+
+def test_micro_reserve_analyzer_end_to_end(spark, tmp_path):
+    """S7 wired into the MicroReservesAnalyzer flow: shapefile polygons ->
+    WGS84 centroids -> closest OSM nature-reserve element within 300 m;
+    unmatched reserves and multi-matched OSM elements reported
+    (MicroReservesAnalyzer.cs:15-126)."""
+    from osmalyzer_spark.plans.analyzers import micro_reserve_analyzer
+
+    # three reserves: two near one OSM element (multi-match), one far away
+    centers = [(56.9500, 24.1000), (56.9504, 24.1002), (56.4000, 22.0000)]
+    shapes = []
+    for lat, lon in centers:
+        x, y = lks92_forward(np.array([lat]), np.array([lon]))
+        d = 50.0  # ~100 m square around the center, in LKS-92 meters
+        ring = [(float(x[0]) - d, float(y[0]) - d), (float(x[0]) - d, float(y[0]) + d),
+                (float(x[0]) + d, float(y[0]) + d), (float(x[0]) + d, float(y[0]) - d),
+                (float(x[0]) - d, float(y[0]) - d)]
+        shapes.append((SHAPE_POLYGON, [ring]))
+    base = str(tmp_path / "mr2")
+    write_shapefile(base, shapes, attrs=[{"ID": str(i)} for i in range(3)],
+                    prj_wkt=LKS92_WKT)
+
+    elements = spark.createDataFrame(
+        [
+            (10, 56.9501, 24.1001, {"leisure": "nature_reserve"}, "way"),
+            (11, 56.0000, 21.0000, {"leisure": "nature_reserve"}, "way"),  # far
+            (12, 56.9502, 24.1003, {"shop": "yes"}, "way"),  # wrong tags
+            (13, 56.9502, 24.0999, {"boundary": "protected_area"}, "node"),  # wrong kind
+        ],
+        "elem_id long, elem_lat double, elem_lon double, tags map<string,string>, kind string",
+    )
+    rows = micro_reserve_analyzer(spark, elements, base).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert {r["reserve_fid"] for r in by_kind["matched"]} == {1, 2}
+    assert all(r["osm_id"] == 10 for r in by_kind["matched"])
+    assert all(r["area_m2"] == pytest.approx(10000.0, rel=1e-3) for r in by_kind["matched"])
+    assert [r["reserve_fid"] for r in by_kind["unmatched_reserve"]] == [3]
+    assert [(r["osm_id"], r["n_reserves"]) for r in by_kind["multi_match"]] == [(10, 2)]
