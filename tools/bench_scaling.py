@@ -103,11 +103,16 @@ def child(cpus: int, n: int, radius: float) -> None:
         f"scaling-{cpus}",
         parallelism=cpus,
         shuffle_partitions=cpus * 8,
-        # with ~MB-scale shuffle data AQE would coalesce the pair-producing
-        # stage down to a couple of partitions and serialize it; the pair
-        # EXPANSION (not shuffle bytes) is the real cost here
-        extra_conf={"spark.sql.adaptive.coalescePartitions.enabled": "false"},
     )
+    # AQE coalescing is a per-section decision (both are runtime confs a
+    # production pipeline would set per stage): the candidate JOIN's
+    # shuffle is a few MB that EXPANDS to hundreds of millions of pairs —
+    # AQE sizes by shuffle bytes and would serialize the expansion, so
+    # coalescing is off for the join legs. The CORRELATOR's DA rounds are
+    # the opposite shape (many tiny stages): coalescing ON with a small
+    # advisory size collapses near-empty round stages (measured: 20.6 s ->
+    # 14.9 s at 32 cores) without touching the wide candidate stage.
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     images = spark.read.parquet(f"{TABLE_PATH}_{n}")
     # measured work includes the scan + payload-stripping projection
     elems = osm_elements_view(images).select("elem_id", "elem_lat", "elem_lon")
@@ -142,6 +147,8 @@ def child(cpus: int, n: int, radius: float) -> None:
 
     # measured section 2: full correlator assignment (includes the serial
     # driver-round structure of deferred acceptance — reported separately)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "262144")
     t0 = time.time()
     res = correlate(
         spark, elems, items,
