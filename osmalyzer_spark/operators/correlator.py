@@ -42,7 +42,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -177,25 +177,52 @@ def deferred_acceptance(
     Returns (holds, rounds): holds has one row per matched acceptor, the
     proposer-optimal stable matching.
 
-    Per-round cost is O(contested), not O(holds): after round 1 only the
-    acceptors that actually receive a new proposal are re-ranked — held
-    pairs whose acceptor is uncontested this round pass through untouched
-    (an acceptor's hold can only change when someone new proposes to it).
-    Rejections are tracked as a per-proposer preference watermark
-    (__minpref) rather than a growing rejected-pair set: a proposer walks
-    its candidate list in strictly increasing __pref order (a lost acceptor
-    is lost forever — its hold only improves), so one small
-    (proposer, __minpref) table replaces the pair blacklist and the
-    displaced-holder set alike.
+    `proposer_order` / `acceptor_order` are lists of ASCENDING key
+    component columns (negate a numeric column for descending) — they
+    form lexicographic key structs. NO global sort or rank is ever
+    computed: each round's proposals are a hash-aggregated
+    `min(key, row)` struct aggregate per proposer (map-side partial combine — the
+    shuffle carries at most one row per proposer per map task, not the
+    candidate table), and acceptors choose with the same aggregate. The
+    old implementation ranked the full candidate table with a window —
+    an O(pairs log pairs) sort and a full-table shuffle that dominated
+    correlate() wall time (BENCH.md).
 
-    Lineage: winners are checkpointed each round; the full holds union is
-    re-checkpointed only every `checkpoint_every` rounds, bounding both
-    plan depth and per-round materialization.
+    Per-round cost is O(contested), not O(holds): after round 1 only the
+    acceptors that actually receive a new proposal are re-chosen — held
+    pairs whose acceptor is uncontested pass through untouched.
+    Rejections are one per-proposer ORDER-KEY WATERMARK (the max lost
+    key): a proposer's proposals move strictly up its key order (a lost
+    acceptor is lost forever — its hold only improves), so the next
+    proposal is min_by over candidates with key > watermark. The small
+    watermark table replaces both a rejected-pair blacklist and a
+    displaced-holder set.
+
+    Lineage: each round's proposal slice and winners are checkpointed
+    once; the full holds union re-checkpoints every `checkpoint_every`
+    rounds, bounding plan depth and per-round materialization.
     """
-    w_pref = Window.partitionBy(proposer).orderBy(*proposer_order)
-    cand = cand.withColumn("__pref", F.row_number().over(w_pref)).localCheckpoint(
-        eager=True
-    )
+    # keys are computed ON THE FLY (cheap expressions) — materializing
+    # them into the checkpointed candidate table costs real bytes at 10^8
+    # rows; consistent field aliases keep the watermark struct comparison
+    # well-typed across rounds
+    pkey = F.struct(*[c.alias(f"__k{i}") for i, c in enumerate(proposer_order)])
+    akey = F.struct(*[c.alias(f"__k{i}") for i, c in enumerate(acceptor_order)])
+    cand = cand.localCheckpoint(eager=True)
+    data_cols = list(cand.columns)
+
+    def best_by(df: DataFrame, group: str, key: Column) -> DataFrame:
+        # min over struct(key, payload) == min_by(payload, key), but the
+        # plain declarative min aggregate measured ~2x faster; keys are
+        # unique (id tie-breakers), so payload fields never decide
+        cols = [c for c in data_cols if c != group]
+        packed = F.struct(key.alias("__key"), F.struct(*cols).alias("__p"))
+        return (
+            df.groupBy(group)
+            .agg(F.min(packed).alias("__b"))
+            .select(group, "__b.__p.*")
+        )
+
     holds = spark.createDataFrame([], cand.schema)
     # the big candidate table is immutable after round 0; per-round state
     # is only the SMALL unassigned-proposer watermark table, so later
@@ -205,50 +232,41 @@ def deferred_acceptance(
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         if unassigned is None:
-            # round 1: every proposer proposes to its first choice — already
-            # encoded as __pref == 1, no second full-table window needed.
-            # holds is empty: everything is contested, nothing untouched.
-            props = cand.filter(F.col("__pref") == 1)
+            sl = cand
+        else:
+            # the unassigned set is small: broadcast it and walk each
+            # proposer strictly past its watermark
+            sl = (
+                cand.join(F.broadcast(unassigned), proposer)
+                .filter(pkey > F.col("__wm"))
+                .drop("__wm")
+            )
+        # ONE scan of the candidate table per round, materialized small:
+        # everything downstream reads the checkpointed proposal slice
+        props = best_by(sl, proposer, pkey).localCheckpoint(eager=True)
+        if unassigned is None:
+            # holds is empty: everything is contested, nothing untouched
             untouched = holds
             contenders = props
         else:
-            # after round 1 the unassigned set is small: broadcast it, walk
-            # each proposer forward from its watermark, rank only that
-            # slice. Checkpoint the (small) result so the ONE big-cand scan
-            # per round happens exactly once — everything downstream
-            # (contested set, touched/untouched split, the acceptor window)
-            # reads the materialized slice, not the cand lineage.
-            props = (
-                cand.join(F.broadcast(unassigned), proposer)
-                .filter(F.col("__pref") >= F.col("__minpref"))
-                .drop("__minpref")
-            )
-            w1 = Window.partitionBy(proposer).orderBy("__pref")
-            props = (
-                props.withColumn("__rn", F.row_number().over(w1))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-                .localCheckpoint(eager=True)
-            )
             # only acceptors receiving a new proposal can change hands;
             # the rest of holds passes through this round untouched
             contested = props.select(acceptor).distinct()
             touched = holds.join(F.broadcast(contested), acceptor, "left_semi")
             untouched = holds.join(F.broadcast(contested), acceptor, "left_anti")
             contenders = touched.unionByName(props)
-        w_acc = Window.partitionBy(acceptor).orderBy(*acceptor_order)
-        # one checkpoint materializes the ranked contenders; winners,
-        # losers, and the empty-check are all cheap filters over it
-        # (checkpointing winners and losers separately would run the
-        # window twice)
-        ranked = contenders.withColumn(
-            "__win", F.row_number().over(w_acc)
-        ).localCheckpoint(eager=True)
-        winners = ranked.filter(F.col("__win") == 1).drop("__win")
+        winners = best_by(contenders, acceptor, akey).localCheckpoint(eager=True)
         # losers covers BOTH rejected new proposals and displaced holders
-        # (a displaced hold is a contender that lost its window); each
-        # carries its pair's __pref, so the next watermark is max+1
-        losers = ranked.filter(F.col("__win") > 1).select(proposer, "__pref")
+        # (a displaced hold is a contender whose acceptor chose another);
+        # each carries its pair's key — the next watermark is the max
+        losers = (
+            contenders.join(
+                winners.select(F.col(acceptor), F.col(proposer).alias("__wp")),
+                acceptor,
+            )
+            .filter(F.col(proposer) != F.col("__wp"))
+            .select(proposer, pkey.alias("__lost"))
+        )
         holds = untouched.unionByName(winners)
         if rounds % checkpoint_every == 0:
             holds = holds.localCheckpoint(eager=True)
@@ -258,7 +276,7 @@ def deferred_acceptance(
             break
         unassigned = (
             losers.groupBy(proposer)
-            .agg((F.max("__pref") + 1).alias("__minpref"))
+            .agg(F.max("__lost").alias("__wm"))
             .localCheckpoint(eager=True)
         )
     else:
@@ -270,7 +288,7 @@ def deferred_acceptance(
             f"deferred_acceptance did not converge in {max_rounds} rounds; "
             "raise max_rounds (chains are bounded by the acceptor count)"
         )
-    return holds.drop("__pref"), rounds
+    return holds, rounds
 
 
 def checkpointed_correlate(
@@ -426,17 +444,18 @@ def correlate(
     cand = pairs.select("item_id", "elem_id", "strength", "dist_m")
 
     # --- forward assignment (items propose) ------------------------------
+    # ascending key components (descending = negate), per the DA contract
     if p.match_anywhere:
         # distance is meaningless; the reference takes the "first" element
         # (list order) — we define first = lowest elem_id (SURVEY §7.3)
-        proposer_order = [F.col("elem_id").asc()]
-        acceptor_order = [F.col("strength").desc(), F.col("item_id").asc()]
+        proposer_order = [F.col("elem_id")]
+        acceptor_order = [-F.col("strength"), F.col("item_id")]
     else:
-        proposer_order = [F.col("dist_m").asc(), F.col("elem_id").asc()]
+        proposer_order = [F.col("dist_m"), F.col("elem_id")]
         acceptor_order = [
-            F.col("strength").desc(),
-            F.col("dist_m").asc(),
-            F.col("item_id").asc(),
+            -F.col("strength"),
+            F.col("dist_m"),
+            F.col("item_id"),
         ]
     holds, rounds = deferred_acceptance(
         spark, cand, "item_id", "elem_id", proposer_order, acceptor_order, p.max_rounds
@@ -498,14 +517,14 @@ def correlate(
             proposer="elem_id",
             acceptor="item_id",
             proposer_order=[
-                F.col("strength").desc(),
-                F.col("dist_m").asc(),
-                F.col("item_id").asc(),
+                -F.col("strength"),
+                F.col("dist_m"),
+                F.col("item_id"),
             ],
             acceptor_order=[
-                F.col("strength").desc(),
-                F.col("dist_m").asc(),
-                F.col("elem_id").asc(),
+                -F.col("strength"),
+                F.col("dist_m"),
+                F.col("elem_id"),
             ],
             max_rounds=p.max_rounds,
         )

@@ -88,6 +88,18 @@ def radius_join(
         else:
             pairs = p.join(b, "__cell")
 
+    # conservative vertical-band prefilter before the trig: on the
+    # engine's sphere (R = 6 376 500, the reference's constant) the
+    # central angle between two points satisfies cos θ = sinφ₁sinφ₂ +
+    # cosφ₁cosφ₂cosΔλ ≤ cos(Δφ), so distance ≥ |Δlat| · πR/180 =
+    # 111 297 m/deg. Rejecting |Δlat| · 111 000 > radius therefore NEVER
+    # drops a true pair (0.27% safety margin ≫ fp error), and skips the
+    # haversine for the ~⅔ of ring candidates that fail vertically —
+    # measured 2.04× on the 1M-row join (BENCH.md), byte-identical pairs.
+    pairs = pairs.filter(
+        F.abs(F.col(plat) - F.col(blat)) * F.lit(111000.0)
+        <= F.lit(float(radius_m))
+    )
     dist = haversine_m(F.col(plat), F.col(plon), F.col(blat), F.col(blon))
     return (
         pairs.withColumn(dist_col, dist)

@@ -275,7 +275,7 @@ def score_route_matches(
         scored.withColumn("neg_score", -F.col("score")),
         proposer="variant_id",
         acceptor="route_rel_id",
-        proposer_order=[F.col("neg_score").asc(), F.col("route_rel_id").asc()],
-        acceptor_order=[F.col("neg_score").asc(), F.col("variant_id").asc()],
+        proposer_order=[F.col("neg_score"), F.col("route_rel_id")],
+        acceptor_order=[F.col("neg_score"), F.col("variant_id")],
     )
     return holds.select("variant_id", "route_rel_id", F.round("score", 4).alias("score"))

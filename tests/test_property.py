@@ -177,3 +177,80 @@ def test_opening_hours_merge_spark_matches_python_replica(spark):
     }
     for i, (_, expected) in enumerate(cases):
         assert got[i] == expected, f"case {i}: {cases[i][0]}"
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    msgs=st.lists(st.binary(min_size=0, max_size=90), min_size=0, max_size=40)
+)
+def test_md5_batch_matches_hashlib(msgs):
+    """Vectorized MD5 is bit-identical to hashlib on arbitrary bytes,
+    across the 55-byte single-block boundary."""
+    import hashlib
+
+    from osmalyzer_spark.functions.md5 import md5_lower64_batch
+
+    got = md5_lower64_batch(msgs)
+    want = np.array(
+        [int.from_bytes(hashlib.md5(m).digest()[8:], "little") for m in msgs],
+        dtype=np.uint64,
+    )
+    assert (got == want).all() if len(msgs) else len(got) == 0
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_star_cc_matches_union_find(edges):
+    """Star CC labels == a plain union-find oracle (min id per component),
+    on arbitrary small multigraphs (self-loops dropped)."""
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    test_star_cc_matches_union_find.cases.append((edges, want))
+
+
+test_star_cc_matches_union_find.cases = []
+
+
+def test_star_cc_spark_matches_union_find_oracle(spark):
+    """Run the accumulated hypothesis graphs through Spark star CC (one
+    job per graph would be slow inside @given; a handful here is fine)."""
+    from osmalyzer_spark.operators.dedup import connected_components_star
+
+    cases = test_star_cc_matches_union_find.cases
+    assert cases, "hypothesis case collector ran first"
+    # dedupe identical edge lists, keep a manageable number
+    seen, picked = set(), []
+    for edges, want in cases:
+        key = tuple(sorted(set(edges)))
+        if key not in seen:
+            seen.add(key)
+            picked.append((edges, want))
+        if len(picked) >= 8:
+            break
+    for edges, want in picked:
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == want, edges
