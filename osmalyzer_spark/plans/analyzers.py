@@ -122,6 +122,46 @@ def parcel_locker_analyzer(
     return correlate(spark, slim, items, params)
 
 
+def mail_box_analyzer(
+    spark: SparkSession,
+    elements: DataFrame,
+    items: DataFrame,
+) -> CorrelationResult:
+    """Latvijas Pasts mail boxes (LatviaPostMailBoxAnalyzer.cs:22-74, the
+    'post boxes' analyzer the north star names): OSM candidates are
+    amenity=post_box; a listed box whose freeform address fuzzy-matches
+    the element's addr tags is Strong, otherwise Good (every in-range
+    pair scores — the company listing has positional errors, so address
+    agreement upgrades but proximity alone still matches).
+
+    items: (item_id, item_lat, item_lon, item_address nullable).
+    Parameters mirror the reference: match 100 m / far 200 m /
+    Strong extra 500 m.
+    """
+    boxes = elements.filter(has_any_value("tags", "amenity", ["post_box"]))
+    slim = _slim_elements(boxes, ["addr:street", "addr:housenumber", "name"])
+
+    def strength(df: DataFrame):
+        addr_match = fuzzy_address_match(
+            F.col("elem_addr_street"),
+            F.col("elem_addr_housenumber"),
+            F.col("item_address"),
+        )
+        return F.when(
+            F.col("item_address").isNotNull()
+            & F.coalesce(addr_match, F.lit(False)),
+            F.lit(STRONG),
+        ).otherwise(F.lit(GOOD))
+
+    params = CorrelatorParams(
+        match_distance=100.0,
+        unmatch_distance=200.0,
+        strong_extra_distance=500.0,
+        strength_expr=strength,
+    )
+    return correlate(spark, slim, items, params)
+
+
 def cultural_monument_analyzer(
     spark: SparkSession,
     elements: DataFrame,

@@ -243,3 +243,48 @@ def test_clean_stop_name_reference_examples(spark):
     df = spark.createDataFrame([(a,) for a, _ in cases], "raw string")
     got = [r["c"] for r in df.select(clean_stop_name(F.col("raw")).alias("c")).collect()]
     assert got == [w for _, w in cases]
+
+
+def test_mail_box_analyzer(spark):
+    """LatviaPostMailBoxAnalyzer semantics: address agreement upgrades a
+    match to Strong (and extends reach to 500 m via strong_extra);
+    proximity alone is Good; a listed box with nothing within seek is
+    unmatched; non-post_box elements are out of the pool."""
+    from osmalyzer_spark.plans.analyzers import mail_box_analyzer
+
+    elements = spark.createDataFrame(
+        [
+            (1, 56.9500, 24.1000,
+             {"amenity": "post_box", "addr:street": "Brīvības iela",
+              "addr:housenumber": "21"}),
+            # 2: within 200 m of item B, no address tags -> Good match
+            (2, 56.9530, 24.1000, {"amenity": "post_box"}),
+            # 3: a bench, not a post box -> never a candidate
+            (3, 56.9531, 24.1001, {"amenity": "bench"}),
+            # 4: ~400 m from item C whose address matches -> Strong-only reach
+            (4, 56.9570, 24.2000,
+             {"amenity": "post_box", "addr:street": "Tērbatas iela",
+              "addr:housenumber": "5"}),
+        ],
+        "elem_id long, elem_lat double, elem_lon double, tags map<string,string>",
+    )
+    items = spark.createDataFrame(
+        [
+            ("A", 56.9501, 24.1001, "Brīvības iela 21, Rīga"),   # addr match -> Strong
+            ("B", 56.9529, 24.1001, None),                        # proximity -> Good
+            ("C", 56.9606, 24.2000, "Tērbatas iela 5"),           # ~400 m, Strong extra
+            ("D", 56.4000, 22.0000, None),                        # nothing near
+        ],
+        "item_id string, item_lat double, item_lon double, item_address string",
+    )
+    res = mail_box_analyzer(spark, elements, items)
+    matched = {r["item_id"]: (r["elem_id"], r["strength"], r["far"])
+               for r in res.matched.collect()}
+    assert matched["A"][0] == 1 and matched["A"][1] == 3  # Strong
+    assert matched["A"][2] is False                        # within 100 m
+    assert matched["B"][0] == 2 and matched["B"][1] == 2  # Good
+    assert matched["C"][0] == 4 and matched["C"][1] == 3  # Strong at ~400 m
+    assert matched["C"][2] is True                         # beyond match_distance
+    assert [r["item_id"] for r in res.unmatched_items.collect()] == ["D"]
+    # the bench (elem 3) is not even an unmatched_osm candidate
+    assert 3 not in {r["elem_id"] for r in res.unmatched_elements.collect()}
