@@ -52,35 +52,19 @@ def main() -> None:
             strong_extra_distance=700.0,
         )
         if args.checkpointed:
-            # Region-partitioned resumable mode: elements AND items are
-            # co-bucketed by a coarse cell (0.05 deg ~ 5 km >> seek
-            # distance), so matching is per-region; items within seek
-            # distance of a bucket border may miss a cross-border element
-            # (a production run adds halo cells). Exact global matching =
-            # the non-checkpointed path.
+            # Resumable mode with EXACT global semantics: buckets are
+            # connected components of the candidate graph (no edge crosses
+            # buckets, so per-bucket matchings union to the global fixed
+            # point), both sides staged partitioned by bucket for pruned
+            # per-bucket reads, crash/resume via idempotent
+            # dynamic-overwrite writes. (An earlier revision bucketed by
+            # coarse region cells and could miss cross-border matches.)
             from osmalyzer_spark.checkpoint import CheckpointedRun
-            from osmalyzer_spark.geo.cells import cell_id_expr
+            from osmalyzer_spark.operators.correlator import checkpointed_correlate
 
-            n_buckets = 64
-            items_b = items.withColumn(
-                "__ib", F.pmod(cell_id_expr("item_lat", "item_lon", 0.05), F.lit(n_buckets)).cast("int")
-            )
-
-            def run_bucket(df, bucket):
-                bucket_items = items_b.filter(F.col("__ib") == bucket).drop("__ib")
-                return correlate(spark, df, bucket_items, params).correlations.withColumnRenamed(
-                    "osm_id", "elem_id"
-                )
-
-            ck = CheckpointedRun(args.out, run_id=args.run_id, n_buckets=n_buckets)
-            out = ck.run(
-                spark,
-                elems,
-                run_bucket,
-                bucket_expr=F.pmod(
-                    cell_id_expr("elem_lat", "elem_lon", 0.05), F.lit(n_buckets)
-                ),
-                input_snapshot=args.images,
+            ck = CheckpointedRun(args.out, run_id=args.run_id, n_buckets=64)
+            out = checkpointed_correlate(
+                spark, elems.drop("image_id"), items, params, ck
             )
             print(f"checkpointed correlation rows: {out.count()}")
         else:
