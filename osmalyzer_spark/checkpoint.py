@@ -111,6 +111,7 @@ class CheckpointedRun:
         df: DataFrame,
         name: str,
         bucket_col: str = "__cbucket",
+        fingerprint: str = "",
     ) -> DataFrame:
         """Persist a bucketed input partitioned by its bucket column and
         read it back, so every downstream `filter(bucket_col == b)` is a
@@ -118,25 +119,54 @@ class CheckpointedRun:
         input (the scale requirement `run`'s docstring demands; this
         method is how the engine itself satisfies it).
 
-        Idempotent per (out_path, name): an existing staging is reused on
-        resume — the bucket layout is deterministic given the same input,
-        and the progress table's input_snapshot records which input that
-        was. Delete `<out>/staged/<name>` to re-stage after an input
-        change.
+        Idempotent per (out_path, run_id, name): a resume of the SAME run
+        reuses the staging — the bucket layout is deterministic given the
+        same input. The `_STAGED` marker records (run_id, fingerprint,
+        schema); a reuse whose marker disagrees RAISES instead of silently
+        correlating against stale staged data (a new run against the same
+        out_path gets a new run_id and therefore a fresh staging
+        directory). Pass `fingerprint` (e.g. the input snapshot id) to
+        strengthen the check beyond the schema. Marker IO goes through
+        Spark itself, so the checkpoint dir may live on any Hadoop
+        filesystem (hdfs://, s3a://, ...), not just the local disk.
         """
-        path = os.path.join(self.out_path, "staged", name)
+        import json
+
+        path = os.path.join(self.out_path, "staged", self.run_id, name)
         # our own completion marker: dynamic partitionOverwriteMode (set
-        # session-wide by the run paths) suppresses the _SUCCESS file
+        # session-wide by the run paths) suppresses the _SUCCESS file. An
+        # underscore-prefixed subdirectory is invisible to the parquet
+        # reader, so the marker can live inside the staged dir.
         marker = os.path.join(path, "_STAGED")
-        if not os.path.exists(marker):
+        want = json.dumps(
+            {
+                "run_id": self.run_id,
+                "fingerprint": fingerprint,
+                "schema": df.schema.simpleString(),
+            },
+            sort_keys=True,
+        )
+        try:
+            rows = spark.read.text(marker).collect()
+            existing = rows[0]["value"] if rows else None
+        except Exception:  # noqa: BLE001 — not staged yet
+            existing = None
+        if existing is None:
             (
                 df.repartition(F.col(bucket_col))
                 .write.mode("overwrite")
                 .partitionBy(bucket_col)
                 .parquet(path)
             )
-            with open(marker, "w") as f:
-                f.write(self.run_id)
+            spark.createDataFrame([(want,)], "value string").coalesce(
+                1
+            ).write.mode("overwrite").text(marker)
+        elif existing != want:
+            raise ValueError(
+                f"staged input {name!r} at {path} was built from a different "
+                f"input (marker {existing} != expected {want}); resume with "
+                "the original input, or start a fresh run_id / out_path"
+            )
         out = spark.read.parquet(path)
         # partition-column inference yields int already; cast defensively
         # (a cast of a partition column still partition-prunes)

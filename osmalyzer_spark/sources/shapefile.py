@@ -291,6 +291,14 @@ def read_shapefile(
         if os.path.exists(prj):
             with open(prj, "r", encoding="utf-8") as f:
                 crs = parse_prj(f.read())
+        elif to_wgs84 is True:
+            # caller explicitly asked for WGS84 but the source CRS is
+            # unknown — same policy as parse_prj: silently misprojecting
+            # (returning source-CRS coordinates as if they were WGS84) is
+            # worse than failing
+            raise ValueError(
+                f"{base}: to_wgs84=True but no .prj sidecar — source CRS unknown"
+            )
         fields: list[tuple[str, str, int, int]] = []
         hdr_size = rec_size = 0
         if os.path.exists(dbf):

@@ -380,7 +380,7 @@ def test_checkpointed_correlate_partition_pruned_reads(spark, tmp_path):
     checkpointed_correlate(spark, edf, idf, CorrelatorParams(), ck)
 
     for name in ("elements", "items"):
-        base = os.path.join(str(tmp_path / "ckp"), "staged", name)
+        base = os.path.join(str(tmp_path / "ckp"), "staged", "p1", name)
         assert os.path.exists(os.path.join(base, "_STAGED"))
         parts = [d for d in os.listdir(base) if d.startswith("__cbucket=")]
         assert parts, f"no partition directories under {base}"
@@ -396,8 +396,8 @@ def test_checkpointed_correlate_partition_pruned_reads(spark, tmp_path):
 
 
 def test_stage_bucketed_reused_on_resume(spark, tmp_path):
-    """Staging is idempotent per (out_path, name): a second call reuses
-    the files (same mtimes) instead of rewriting."""
+    """Staging is idempotent per (out_path, run_id, name): a second call
+    reuses the files (same mtimes) instead of rewriting."""
     import os
 
     from osmalyzer_spark.checkpoint import CheckpointedRun
@@ -405,8 +405,31 @@ def test_stage_bucketed_reused_on_resume(spark, tmp_path):
     ck = CheckpointedRun(str(tmp_path / "cks"), run_id="s1", n_buckets=4)
     df = spark.range(100).withColumn("__cbucket", (F.col("id") % 4).cast("int"))
     ck.stage_bucketed(spark, df, "side")
-    base = os.path.join(str(tmp_path / "cks"), "staged", "side")
+    base = os.path.join(str(tmp_path / "cks"), "staged", "s1", "side")
     mtimes = {f: os.path.getmtime(os.path.join(base, f)) for f in os.listdir(base)}
     out2 = ck.stage_bucketed(spark, df, "side")
     assert {f: os.path.getmtime(os.path.join(base, f)) for f in os.listdir(base)} == mtimes
     assert out2.count() == 100
+
+
+def test_stage_bucketed_rejects_changed_input(spark, tmp_path):
+    """Resuming a staging against a CHANGED input must raise, not silently
+    correlate from the stale staged files (ADVICE r3): the _STAGED marker
+    records (run_id, fingerprint, schema) and a mismatch fails loudly."""
+    import pytest as _pytest
+
+    from osmalyzer_spark.checkpoint import CheckpointedRun
+
+    ck = CheckpointedRun(str(tmp_path / "ckf"), run_id="f1", n_buckets=4)
+    df = spark.range(50).withColumn("__cbucket", (F.col("id") % 4).cast("int"))
+    ck.stage_bucketed(spark, df, "side", fingerprint="snap-A")
+    # same name + run, different declared input snapshot -> refuse reuse
+    with _pytest.raises(ValueError, match="different input"):
+        ck.stage_bucketed(spark, df, "side", fingerprint="snap-B")
+    # schema drift is caught even with no explicit fingerprint
+    df2 = df.withColumn("extra", F.lit(1))
+    with _pytest.raises(ValueError, match="different input"):
+        ck.stage_bucketed(spark, df2, "side", fingerprint="snap-A")
+    # a NEW run_id against the same out_path stages fresh (no cross-run reuse)
+    ck2 = CheckpointedRun(str(tmp_path / "ckf"), run_id="f2", n_buckets=4)
+    assert ck2.stage_bucketed(spark, df2, "side").count() == 50

@@ -198,20 +198,8 @@ def test_md5_batch_matches_hashlib(msgs):
     assert (got == want).all() if len(msgs) else len(got) == 0
 
 
-@settings(max_examples=25, deadline=None)
-@given(
-    edges=st.lists(
-        st.tuples(st.integers(0, 25), st.integers(0, 25)),
-        min_size=1,
-        max_size=60,
-    )
-)
-def test_star_cc_matches_union_find(edges):
-    """Star CC labels == a plain union-find oracle (min id per component),
-    on arbitrary small multigraphs (self-loops dropped)."""
-    edges = [(a, b) for a, b in edges if a != b]
-    if not edges:
-        return
+def _union_find_components(edges):
+    """Plain union-find oracle: node -> min id of its component."""
     parent: dict[int, int] = {}
 
     def find(x):
@@ -224,30 +212,58 @@ def test_star_cc_matches_union_find(edges):
         ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
-    want = {n: find(n) for n in parent}
-    test_star_cc_matches_union_find.cases.append((edges, want))
+    return {n: find(n) for n in parent}
 
 
-test_star_cc_matches_union_find.cases = []
+@settings(max_examples=50, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_union_find_oracle_is_consistent(edges):
+    """The union-find oracle itself satisfies the component axioms: both
+    endpoints of every edge share a label, and each label is the minimum
+    node id of its label class (pure Python — the Spark comparison below
+    uses its own deterministic graph set, no cross-test state)."""
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    want = _union_find_components(edges)
+    for a, b in edges:
+        assert want[a] == want[b]
+    by_label: dict[int, list[int]] = {}
+    for n, lbl in want.items():
+        by_label.setdefault(lbl, []).append(n)
+    for lbl, members in by_label.items():
+        assert lbl == min(members)
 
 
 def test_star_cc_spark_matches_union_find_oracle(spark):
-    """Run the accumulated hypothesis graphs through Spark star CC (one
-    job per graph would be slow inside @given; a handful here is fine)."""
+    """Spark star CC == union-find on a fixed seeded graph set (chains,
+    stars, cliques, random sparse multigraphs with self-loops dropped)."""
+    import random
+
     from osmalyzer_spark.operators.dedup import connected_components_star
 
-    cases = test_star_cc_matches_union_find.cases
-    assert cases, "hypothesis case collector ran first"
-    # dedupe identical edge lists, keep a manageable number
-    seen, picked = set(), []
-    for edges, want in cases:
-        key = tuple(sorted(set(edges)))
-        if key not in seen:
-            seen.add(key)
-            picked.append((edges, want))
-        if len(picked) >= 8:
-            break
-    for edges, want in picked:
+    rng = random.Random(20260816)
+    cases = [
+        [(i, i + 1) for i in range(12)],                      # one long chain
+        [(0, i) for i in range(1, 10)],                       # star
+        [(a, b) for a in range(6) for b in range(a + 1, 6)],  # clique
+        [(1, 2), (3, 4), (5, 6), (7, 8)],                     # matchings
+    ]
+    for _ in range(6):
+        n = rng.randint(2, 26)
+        m = rng.randint(1, 60)
+        es = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        es = [(a, b) for a, b in es if a != b]
+        if es:
+            cases.append(es)
+    for edges in cases:
+        want = _union_find_components(edges)
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {
             r["id"]: r["component"]

@@ -249,3 +249,15 @@ def test_micro_reserve_analyzer_end_to_end(spark, tmp_path):
     assert all(r["area_m2"] == pytest.approx(10000.0, rel=1e-3) for r in by_kind["matched"])
     assert [r["reserve_fid"] for r in by_kind["unmatched_reserve"]] == [3]
     assert [(r["osm_id"], r["n_reserves"]) for r in by_kind["multi_match"]] == [(10, 2)]
+
+
+def test_to_wgs84_without_prj_raises(spark, tmp_path):
+    """Explicit to_wgs84=True with no .prj must fail loudly (ADVICE r3):
+    returning source-CRS coordinates as if they were WGS84 contradicts
+    parse_prj's own silently-misprojecting-is-worse-than-failing policy."""
+    base, _, _ = _write_fixture(tmp_path, with_prj=False)
+    with pytest.raises(ValueError, match="no .prj"):
+        read_shapefile(spark, base, to_wgs84=True)
+    # default (auto) and explicit False still read fine in source CRS
+    assert read_shapefile(spark, base).count() == 3
+    assert read_shapefile(spark, base, to_wgs84=False).count() == 3
