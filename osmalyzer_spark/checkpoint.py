@@ -94,13 +94,42 @@ class CheckpointedRun:
             self._progress_path
         )
 
+    @property
+    def _schema_path(self) -> str:
+        return os.path.join(self.out_path, "_schema")
+
+    def _write_schema_once(self, spark: SparkSession, df: DataFrame) -> None:
+        """Record the output schema so empty runs (zero output rows => a
+        partitioned parquet write creates NO files) still yield a typed
+        empty result instead of an unreadable directory."""
+        try:
+            spark.read.text(self._schema_path).collect()
+            return
+        except Exception:  # noqa: BLE001 — not recorded yet
+            pass
+        spark.createDataFrame([(df.schema.json(),)], "value string").coalesce(
+            1
+        ).write.mode("overwrite").text(self._schema_path)
+
+    def _read_data(self, spark: SparkSession) -> DataFrame:
+        try:
+            return spark.read.parquet(self._data_path)
+        except Exception:  # noqa: BLE001 — zero rows ever written
+            import json
+
+            from pyspark.sql.types import StructType
+
+            rows = spark.read.text(self._schema_path).collect()
+            schema = StructType.fromJson(json.loads(rows[0]["value"]))
+            return spark.createDataFrame([], schema)
+
     def _result(self, spark: SparkSession) -> DataFrame:
         # only buckets with a progress row are part of the result: a data
         # partition without progress is a crashed remnant that will be
         # overwritten on the next resume, not output
         done = sorted(self.done_buckets(spark))
         return (
-            spark.read.parquet(self._data_path)
+            self._read_data(spark)
             .filter(F.col("__bucket").isin(done))
             .drop("__bucket")
         )
@@ -180,6 +209,7 @@ class CheckpointedRun:
         bucket_expr,
         input_snapshot: str = "",
         fail_before_progress: bool = False,
+        buckets: list[int] | None = None,
     ) -> DataFrame:
         """Compute and write EVERY pending bucket in one job.
 
@@ -192,11 +222,15 @@ class CheckpointedRun:
         One full input scan for the output write + one column-pruned
         scan for rows_in lineage. `fail_before_progress` is a test hook
         simulating a crash in the data-written/progress-missing window.
+        `buckets` restricts the pass to an explicit bucket-id list
+        (default: range(n_buckets)) — used when a run splits bucket ids
+        between a single-pass phase and a per-bucket phase.
         """
         _dynamic_overwrite(spark)
         inp = inp.withColumn("__bucket", bucket_expr.cast("int"))
         done = self.done_buckets(spark)
-        pending = [b for b in range(self.n_buckets) if b not in done]
+        universe = range(self.n_buckets) if buckets is None else buckets
+        pending = [b for b in universe if b not in done]
         if pending:
             t0 = time.time()
             slice_df = inp.filter(F.col("__bucket").isin(pending))
@@ -205,6 +239,7 @@ class CheckpointedRun:
                 raise ValueError(
                     "single-pass process() must preserve the __bucket column"
                 )
+            self._write_schema_once(spark, produced)
             (
                 produced.repartition("__bucket")
                 .write.mode("overwrite")
@@ -220,7 +255,7 @@ class CheckpointedRun:
             }
             rows_out = {
                 r["__bucket"]: r["n"]
-                for r in spark.read.parquet(self._data_path)
+                for r in self._read_data(spark)
                 .filter(F.col("__bucket").isin(pending))
                 .groupBy("__bucket")
                 .agg(F.count(F.lit(1)).alias("n"))
@@ -254,6 +289,7 @@ class CheckpointedRun:
         input_snapshot: str = "",
         fail_after_batches: int | None = None,
         fail_before_progress_batch: int | None = None,
+        buckets: list[int] | None = None,
     ) -> DataFrame:
         """Process `inp` bucket by bucket in resumable batches.
 
@@ -277,7 +313,8 @@ class CheckpointedRun:
         _dynamic_overwrite(spark)
         inp = inp.withColumn("__bucket", bucket_expr.cast("int"))
         done = self.done_buckets(spark)
-        pending = [b for b in range(self.n_buckets) if b not in done]
+        universe = range(self.n_buckets) if buckets is None else buckets
+        pending = [b for b in universe if b not in done]
         batches = [
             pending[i : i + self.buckets_per_batch]
             for i in range(0, len(pending), self.buckets_per_batch)
@@ -297,13 +334,14 @@ class CheckpointedRun:
                     else process(slice_df.drop("__bucket"))
                 )
                 out = produced.withColumn("__bucket", F.lit(int(b)))
+                self._write_schema_once(spark, out)
                 # dynamic overwrite: replaces ONLY partition __bucket=b,
                 # so redoing a bucket after a crash is idempotent
                 out.write.mode("overwrite").partitionBy("__bucket").parquet(
                     self._data_path
                 )
                 rows_out = (
-                    spark.read.parquet(self._data_path)
+                    self._read_data(spark)
                     .filter(F.col("__bucket") == b)
                     .count()
                 )

@@ -91,6 +91,9 @@ class CorrelatorParams:
     salt: SaltSpec | None = None
     broadcast_items: bool = False
     max_rounds: int = 64
+    # max rows of DA round state (watermarks / contested acceptors) that
+    # may be broadcast; larger round states use a shuffle join instead
+    broadcast_row_limit: int = 1_000_000
 
     @property
     def seek_distance(self) -> float:
@@ -171,6 +174,7 @@ def deferred_acceptance(
     acceptor_order: list[Column],
     max_rounds: int = 64,
     checkpoint_every: int = 8,
+    broadcast_row_limit: int = 1_000_000,
 ) -> tuple[DataFrame, int]:
     """Distributed Gale-Shapley over a candidate-pair DataFrame.
 
@@ -223,21 +227,30 @@ def deferred_acceptance(
             .select(group, "__b.__p.*")
         )
 
+    def hinted(df: DataFrame, n_rows: int) -> DataFrame:
+        # round-state tables are USUALLY tiny (displacement-chain tails),
+        # but adversarial inputs (items >> elements, a mass displacement
+        # wave) make round-1 state O(proposers) — a FORCED broadcast of
+        # that is a driver OOM at scale. Guard with the known row count
+        # (free: the tables are checkpointed when counted) and fall back
+        # to a plain shuffle join above the limit.
+        return F.broadcast(df) if n_rows <= broadcast_row_limit else df
+
     holds = spark.createDataFrame([], cand.schema)
     # the big candidate table is immutable after round 0; per-round state
     # is only the SMALL unassigned-proposer watermark table, so later
     # rounds (displacement-chain tails) stay cheap no matter how large the
     # candidate set is
     unassigned = None  # round 1: every proposer proposes — no join needed
+    n_unassigned = 0
     rounds = 0
     for rounds in range(1, max_rounds + 1):
         if unassigned is None:
             sl = cand
         else:
-            # the unassigned set is small: broadcast it and walk each
-            # proposer strictly past its watermark
+            # walk each unassigned proposer strictly past its watermark
             sl = (
-                cand.join(F.broadcast(unassigned), proposer)
+                cand.join(hinted(unassigned, n_unassigned), proposer)
                 .filter(pkey > F.col("__wm"))
                 .drop("__wm")
             )
@@ -250,10 +263,13 @@ def deferred_acceptance(
             contenders = props
         else:
             # only acceptors receiving a new proposal can change hands;
-            # the rest of holds passes through this round untouched
-            contested = props.select(acceptor).distinct()
-            touched = holds.join(F.broadcast(contested), acceptor, "left_semi")
-            untouched = holds.join(F.broadcast(contested), acceptor, "left_anti")
+            # the rest of holds passes through this round untouched.
+            # |contested| <= |props|, and props is already materialized,
+            # so its count is a safe, cheap broadcast-size bound.
+            n_props = props.count()
+            contested = hinted(props.select(acceptor).distinct(), n_props)
+            touched = holds.join(contested, acceptor, "left_semi")
+            untouched = holds.join(contested, acceptor, "left_anti")
             contenders = touched.unionByName(props)
         winners = best_by(contenders, acceptor, akey).localCheckpoint(eager=True)
         # losers covers BOTH rejected new proposals and displaced holders
@@ -270,15 +286,16 @@ def deferred_acceptance(
         holds = untouched.unionByName(winners)
         if rounds % checkpoint_every == 0:
             holds = holds.localCheckpoint(eager=True)
-        # no conflicts => every proposal was accepted => every proposer
-        # with remaining candidates is now held: stable, stop.
-        if losers.isEmpty():
-            break
         unassigned = (
             losers.groupBy(proposer)
             .agg(F.max("__lost").alias("__wm"))
             .localCheckpoint(eager=True)
         )
+        n_unassigned = unassigned.count()
+        # no conflicts => every proposal was accepted => every proposer
+        # with remaining candidates is now held: stable, stop.
+        if n_unassigned == 0:
+            break
     else:
         # loop exhausted without the no-losers break: the matching has NOT
         # reached the stable fixed point — returning it silently would
@@ -291,136 +308,52 @@ def deferred_acceptance(
     return holds, rounds
 
 
-def checkpointed_correlate(
-    spark: SparkSession,
-    elements: DataFrame,
-    items: DataFrame,
-    params: "CorrelatorParams | None",
-    ck,
-    cc_max_iter: int = 64,
-    fail_after_batches: int | None = None,  # crash-simulation test hook
-) -> DataFrame:
-    """Resumable correlate with EXACT global semantics.
-
-    Naive spatial bucketing breaks the matching: a displacement chain (or
-    simply a best match) can cross any fixed geographic boundary. The
-    correct unit of checkpointing is a CONNECTED COMPONENT of the
-    candidate graph (all item–element pairs within seek_distance): no
-    candidate edge crosses components, so deferred acceptance on each
-    component is independent and the union of per-component matchings IS
-    the global fixed point. Components are hashed into ck.n_buckets
-    buckets; each bucket correlates its elements against its co-bucketed
-    items via ck.run's `process(df, bucket=)` path and writes the
-    six-kind correlations — crash/resume semantics come from
-    CheckpointedRun (idempotent dynamic-overwrite writes).
-
-    Dense regions (the Riga hotspot) honestly form large components —
-    they ARE one matching problem; granularity cannot exceed problem
-    structure without changing answers.
-
-    Returns the unified correlations DataFrame (== correlate(...)
-    .correlations on the same inputs).
-    """
-    from osmalyzer_spark.operators.dedup import connected_components_star
-
-    p = params or CorrelatorParams()
-    if p.match_anywhere:
-        raise ValueError("checkpointed_correlate requires distance-bounded matching")
-    if p.lone_upgrade_unbounded:
-        raise ValueError(
-            "unbounded lone upgrades can cross candidate components; use a "
-            "bounded radius <= seek_distance"
-        )
-    if p.lone_upgrade_radius_m is not None and p.lone_upgrade_radius_m > p.seek_distance:
-        raise ValueError("lone_upgrade_radius_m beyond seek_distance crosses components")
-
-    pairs = radius_join(
-        items.select("item_id", "item_lat", "item_lon"),
-        elements.select("elem_id", "elem_lat", "elem_lon"),
-        p.seek_distance,
-        probe_coords=("item_lat", "item_lon"),
-        build_coords=("elem_lat", "elem_lon"),
-        dist_col="__d",
-        salt=p.salt,
-    ).select(
-        F.concat(F.lit("i:"), F.col("item_id").cast("string")).alias("id_a"),
-        F.concat(F.lit("e:"), F.col("elem_id").cast("string")).alias("id_b"),
-    )
-    # two-phase star CC: O(log n) rounds regardless of component diameter
-    # (min-label propagation is O(diameter) — a dense hotspot component's
-    # diameter ~ extent/seek, measured in BENCH.md; the star algorithm's
-    # round count is 8 on the 1M/775 m giant component, measured)
-    comps = connected_components_star(pairs, max_iter=cc_max_iter)
-
-    def with_bucket(df: DataFrame, prefix: str, id_col: str) -> DataFrame:
-        key = F.concat(F.lit(prefix), F.col(id_col).cast("string"))
-        joined = df.join(
-            comps.select(F.col("id").alias("__k"), "component"),
-            key == F.col("__k"),
-            "left",
-        ).drop("__k")
-        # candidate-less rows are singleton components of their own key
-        return joined.withColumn(
-            "__cbucket",
-            F.pmod(F.xxhash64(F.coalesce("component", key)), F.lit(ck.n_buckets)).cast(
-                "int"
-            ),
-        ).drop("component")
-
-    # stage both sides partitioned by __cbucket: every per-bucket filter
-    # below (ck.run's element slices AND the co-bucketed item lookups) is
-    # a partition-pruned directory read, never a rescan of the input
-    # (VERDICT r2 item 3; pruning asserted in tests)
-    elems_b = ck.stage_bucketed(spark, with_bucket(elements, "e:", "elem_id"), "elements")
-    items_b = ck.stage_bucketed(spark, with_bucket(items, "i:", "item_id"), "items")
-
-    def process(df: DataFrame, bucket: int) -> DataFrame:
-        bucket_items = items_b.filter(F.col("__cbucket") == bucket).drop("__cbucket")
-        return correlate(
-            spark, df.drop("__cbucket"), bucket_items, p
-        ).correlations
-
-    return ck.run(
-        spark, elems_b, process,
-        bucket_expr=F.col("__cbucket"),
-        fail_after_batches=fail_after_batches,
+def _allowed_expr(p: CorrelatorParams) -> Column:
+    """Per-strength allowed distance (Correlator.cs:151-163)."""
+    return (
+        F.when(F.col("strength") == REGULAR, F.lit(p.unmatch_distance))
+        .when(F.col("strength") == GOOD, F.lit(p.unmatch_distance + p.good_extra_distance))
+        .otherwise(F.lit(p.unmatch_distance + p.strong_extra_distance))
     )
 
 
-def correlate(
+def _slim_inputs(
     spark: SparkSession,
     elements: DataFrame,
     items: DataFrame,
-    params: CorrelatorParams | None = None,
-) -> CorrelationResult:
-    """Run the correlator.
+    p: CorrelatorParams,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Evaluate every caller expression ONCE, distributed, and reduce the
+    matching problem to three slim frames:
 
-    `elements` needs columns (elem_id, elem_lat, elem_lon) plus whatever
-    the strength / lone-allowance expressions reference; `items` needs
-    (item_id, item_lat, item_lon) likewise. All other columns ride into
-    the candidate pairs — keep the inputs slim (no binary payloads).
+      elems_slim(elem_id, elem_lat, elem_lon, __lone)
+      items_slim(item_id, item_lat, item_lon, __outside)
+      pairs_all (item_id, elem_id, strength, dist_m) — ALL in-seek pairs
+                with callback strength > UNMATCHED, BEFORE the per-strength
+                allowed-distance filter (the lone-upgrade pass needs pairs
+                the forward pass discards).
+
+    Everything downstream (distributed DA, the checkpointed component
+    decomposition, the sequential small-component solver) consumes only
+    these — no caller Column expression survives past this point, which is
+    what lets a pandas task replay a component exactly.
     """
-    p = params or CorrelatorParams()
     _no_binary(elements, "elements")
     _no_binary(items, "items")
 
-    outside = None
     if p.polygon is not None:
-        inside = contains_expr(p.polygon, "item_lat", "item_lon")
-        items = items.withColumn("__inside", inside).persist()
-        outside = (
-            items.filter(~F.col("__inside")).select("item_id")
-            if p.report_outside_polygon
-            else None
-        )
-        items = items.filter(F.col("__inside")).drop("__inside")
+        items = items.withColumn(
+            "__outside", ~contains_expr(p.polygon, "item_lat", "item_lon")
+        ).persist()
+    else:
+        items = items.withColumn("__outside", F.lit(False))
+    inside = items.filter(~F.col("__outside"))
 
-    # --- candidate pairs -------------------------------------------------
     if p.match_anywhere:
-        pairs = items.crossJoin(elements).withColumn("dist_m", F.lit(0.0))
+        pairs = inside.crossJoin(elements).withColumn("dist_m", F.lit(0.0))
     else:
         pairs = radius_join(
-            items,
+            inside,
             elements,
             p.seek_distance,
             probe_coords=("item_lat", "item_lon"),
@@ -432,16 +365,49 @@ def correlate(
     strength = (
         p.strength_expr(pairs) if p.strength_expr is not None else F.lit(REGULAR)
     )
-    pairs = pairs.withColumn("strength", strength.cast("int"))
-    pairs = pairs.filter(F.col("strength") > UNMATCHED)
-    if not p.match_anywhere:
-        allowed = (
-            F.when(F.col("strength") == REGULAR, F.lit(p.unmatch_distance))
-            .when(F.col("strength") == GOOD, F.lit(p.unmatch_distance + p.good_extra_distance))
-            .otherwise(F.lit(p.unmatch_distance + p.strong_extra_distance))
-        )
-        pairs = pairs.filter(F.col("dist_m") <= allowed)
-    cand = pairs.select("item_id", "elem_id", "strength", "dist_m")
+    pairs_all = (
+        pairs.withColumn("strength", strength.cast("int"))
+        .filter(F.col("strength") > UNMATCHED)
+        .select("item_id", "elem_id", "strength", "dist_m")
+    )
+    lone = (
+        p.lone_allowance_expr(elements)
+        if p.lone_allowance_expr is not None
+        else F.lit(False)
+    )
+    elems_slim = elements.select(
+        "elem_id", "elem_lat", "elem_lon", lone.alias("__lone")
+    )
+    items_slim = items.select("item_id", "item_lat", "item_lon", "__outside")
+    return elems_slim, items_slim, pairs_all
+
+
+def _assign(
+    spark: SparkSession,
+    elems_slim: DataFrame,
+    items_slim: DataFrame,
+    pairs_all: DataFrame,
+    p: CorrelatorParams,
+    full_elements: DataFrame | None = None,
+    full_items: DataFrame | None = None,
+) -> CorrelationResult:
+    """Forward DA + reverse pass + lone upgrade over _slim_inputs frames.
+
+    `full_elements` / `full_items` are only needed for the two pair sets
+    pairs_all cannot cover — match-anywhere-style unbounded upgrades and a
+    lone_upgrade_radius_m beyond seek_distance — because those re-evaluate
+    the strength callback over fresh pairs.
+    """
+    outside = None
+    if p.polygon is not None and p.report_outside_polygon:
+        outside = items_slim.filter(F.col("__outside")).select("item_id")
+    items_in = items_slim.filter(~F.col("__outside"))
+
+    cand = (
+        pairs_all
+        if p.match_anywhere
+        else pairs_all.filter(F.col("dist_m") <= _allowed_expr(p))
+    ).select("item_id", "elem_id", "strength", "dist_m")
 
     # --- forward assignment (items propose) ------------------------------
     # ascending key components (descending = negate), per the DA contract
@@ -458,7 +424,8 @@ def correlate(
             F.col("item_id"),
         ]
     holds, rounds = deferred_acceptance(
-        spark, cand, "item_id", "elem_id", proposer_order, acceptor_order, p.max_rounds
+        spark, cand, "item_id", "elem_id", proposer_order, acceptor_order,
+        p.max_rounds, broadcast_row_limit=p.broadcast_row_limit,
     )
     matched = holds.withColumn(
         "far",
@@ -466,21 +433,14 @@ def correlate(
     ).localCheckpoint(eager=True)
 
     # --- reverse pass (unmatched elements) --------------------------------
-    unmatched_items = items.join(
+    unmatched_items = items_in.join(
         matched.select("item_id"), "item_id", "left_anti"
     ).localCheckpoint(eager=True)
-    unmatched_elems = elements.join(
+    unmatched_elems = elems_slim.join(
         matched.select("elem_id"), "elem_id", "left_anti"
-    )
-    if p.lone_allowance_expr is not None:
-        unmatched_elems = unmatched_elems.withColumn(
-            "__lone", p.lone_allowance_expr(unmatched_elems)
-        ).localCheckpoint(eager=True)
-        lone_cand = unmatched_elems.filter(F.col("__lone")).drop("__lone")
-        plain_unmatched = unmatched_elems.filter(~F.col("__lone")).drop("__lone")
-    else:
-        lone_cand = unmatched_elems.limit(0)
-        plain_unmatched = unmatched_elems
+    ).localCheckpoint(eager=True)
+    lone_cand = unmatched_elems.filter(F.col("__lone"))
+    plain_unmatched = unmatched_elems.filter(~F.col("__lone"))
 
     # --- lone strong-match upgrade (Correlator.cs:249-287) ----------------
     if (
@@ -488,28 +448,57 @@ def correlate(
         and p.strength_expr is not None
         and not p.match_anywhere
     ):
-        if p.lone_upgrade_unbounded:
-            from osmalyzer_spark.geo.distance import haversine_m
+        if p.lone_strong_match_strength < REGULAR:
+            raise ValueError("lone_strong_match_strength must be >= REGULAR")
+        radius = (
+            p.lone_upgrade_radius_m
+            if p.lone_upgrade_radius_m is not None
+            else p.seek_distance
+        )
+        if p.lone_upgrade_unbounded or radius > p.seek_distance:
+            # beyond-seek pairs don't exist in pairs_all: rebuild them from
+            # the full frames and re-evaluate the strength callback
+            if full_elements is None or full_items is None:
+                raise ValueError(
+                    "beyond-seek lone upgrades need the full element/item frames"
+                )
+            lone_full = full_elements.join(
+                lone_cand.select("elem_id"), "elem_id", "left_semi"
+            )
+            un_items_full = full_items.join(
+                unmatched_items.select("item_id"), "item_id", "left_semi"
+            )
+            if p.lone_upgrade_unbounded:
+                from osmalyzer_spark.geo.distance import haversine_m
 
-            up_pairs = lone_cand.crossJoin(unmatched_items).withColumn(
-                "dist_m",
-                haversine_m("item_lat", "item_lon", "elem_lat", "elem_lon"),
+                up_pairs = lone_full.crossJoin(un_items_full).withColumn(
+                    "dist_m",
+                    haversine_m("item_lat", "item_lon", "elem_lat", "elem_lon"),
+                )
+            else:
+                up_pairs = radius_join(
+                    lone_full,
+                    un_items_full,
+                    radius,
+                    probe_coords=("elem_lat", "elem_lon"),
+                    build_coords=("item_lat", "item_lon"),
+                    dist_col="dist_m",
+                )
+            up_cand = (
+                up_pairs.withColumn("strength", p.strength_expr(up_pairs).cast("int"))
+                .filter(F.col("strength") >= F.lit(p.lone_strong_match_strength))
+                .select("item_id", "elem_id", "strength", "dist_m")
             )
         else:
-            up_pairs = radius_join(
-                lone_cand,
-                unmatched_items,
-                p.lone_upgrade_radius_m
-                if p.lone_upgrade_radius_m is not None
-                else p.seek_distance,
-                probe_coords=("elem_lat", "elem_lon"),
-                build_coords=("item_lat", "item_lon"),
-                dist_col="dist_m",
+            # in-seek upgrades are a subset of pairs_all (strengths already
+            # evaluated there, on the same pair rows — row-wise identical)
+            up_cand = (
+                pairs_all.join(lone_cand.select("elem_id"), "elem_id", "left_semi")
+                .join(unmatched_items.select("item_id"), "item_id", "left_semi")
+                .filter(F.col("dist_m") <= F.lit(radius))
+                .filter(F.col("strength") >= F.lit(p.lone_strong_match_strength))
+                .select("item_id", "elem_id", "strength", "dist_m")
             )
-        up_pairs = up_pairs.withColumn(
-            "strength", p.strength_expr(up_pairs).cast("int")
-        ).filter(F.col("strength") >= F.lit(p.lone_strong_match_strength))
-        up_cand = up_pairs.select("item_id", "elem_id", "strength", "dist_m")
         # elements propose for their best item; items accept their best
         up_holds, _ = deferred_acceptance(
             spark,
@@ -527,6 +516,7 @@ def correlate(
                 F.col("elem_id"),
             ],
             max_rounds=p.max_rounds,
+            broadcast_row_limit=p.broadcast_row_limit,
         )
         upgrades = up_holds.withColumn(
             "far", F.col("dist_m") > F.lit(p.match_distance)
@@ -544,4 +534,399 @@ def correlate(
         lone_elements=lone_cand.select("elem_id"),
         outside_items=outside,
         rounds=rounds,
+    )
+
+
+def _make_component_solver(p: CorrelatorParams):
+    """Sequential per-component solver for applyInPandas: replays the
+    reference's matching loop (Correlator.cs:110-301) inside ONE Arrow
+    task over the slim component rows ('e'/'i'/'p' sides). With strict
+    preferences, Gale-Shapley's proposer-optimal matching is unique and
+    order-independent, so this produces EXACTLY the distributed DA answer
+    for its component (randomized equivalence tests assert it).
+
+    Only plain scalars are captured — the caller's Column expressions were
+    already evaluated into __lone / __outside / strength by _slim_inputs.
+    """
+    import pandas as pd
+
+    match_d = p.match_distance
+    unmatch_d = p.unmatch_distance
+    good_all = p.unmatch_distance + p.good_extra_distance
+    strong_all = p.unmatch_distance + p.strong_extra_distance
+    upgrade_on = p.lone_strong_match_strength is not None and p.strength_expr is not None
+    lone_min = p.lone_strong_match_strength
+    up_radius = (
+        p.lone_upgrade_radius_m
+        if p.lone_upgrade_radius_m is not None
+        else p.seek_distance
+    )
+    if upgrade_on and lone_min < REGULAR:
+        raise ValueError("lone_strong_match_strength must be >= REGULAR")
+
+    cols = ["kind", "osm_id", "item_id", "distance", "strength", "far", "__bucket"]
+
+    def allowed(s: int) -> float:
+        if s == REGULAR:
+            return unmatch_d
+        if s == GOOD:
+            return good_all
+        return strong_all
+
+    def galeshapley(cand: dict, acceptor_key) -> dict:
+        """cand: proposer -> candidate list sorted ascending by the
+        proposer's preference key; returns acceptor -> (s, d, proposer)."""
+        hold: dict = {}
+        ptr = {k: 0 for k in cand}
+        stack = list(cand)
+        while stack:
+            pid = stack.pop()
+            lst = cand[pid]
+            while ptr[pid] < len(lst):
+                entry = lst[ptr[pid]]
+                ptr[pid] += 1
+                d, aid, s = entry[-3], entry[-2], entry[-1]
+                cur = hold.get(aid)
+                if cur is None or acceptor_key(s, d, pid) < acceptor_key(*cur):
+                    if cur is not None:
+                        stack.append(cur[2])
+                    hold[aid] = (s, d, pid)
+                    break
+        return hold
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bucket = int(pdf["__bucket"].iloc[0])
+        e = pdf[pdf["__side"] == "e"]
+        i = pdf[pdf["__side"] == "i"]
+        pr = pdf[pdf["__side"] == "p"]
+        lone_flag = {
+            int(eid): bool(lf)
+            for eid, lf in zip(e["elem_id"], e["__lone"])
+        }
+        item_ids = [str(x) for x in i["item_id"]]
+        pairs_list = [
+            (str(iid), int(eid), int(s), float(d))
+            for iid, eid, s, d in zip(
+                pr["item_id"], pr["elem_id"], pr["strength"], pr["dist_m"]
+            )
+        ]
+
+        # forward: items propose by (dist, elem_id); elements accept by
+        # (strength desc, dist, item_id)
+        fwd: dict = {}
+        for iid, eid, s, d in pairs_list:
+            if d <= allowed(s):
+                fwd.setdefault(iid, []).append((d, eid, s))
+        for lst in fwd.values():
+            lst.sort()
+        hold = galeshapley(fwd, lambda s, d, iid: (-s, d, iid))
+
+        matched_items = {v[2] for v in hold.values()}
+        un_items = [iid for iid in item_ids if iid not in matched_items]
+        lone_elems = [
+            eid for eid, lf in lone_flag.items() if eid not in hold and lf
+        ]
+        plain_un = [
+            eid for eid, lf in lone_flag.items() if eid not in hold and not lf
+        ]
+
+        upgrades: dict = {}
+        if upgrade_on and lone_elems and un_items:
+            lone_set, un_set = set(lone_elems), set(un_items)
+            # elements propose by (strength desc, dist, item_id); items
+            # accept by (strength desc, dist, elem_id)
+            rev: dict = {}
+            for iid, eid, s, d in pairs_list:
+                if (
+                    eid in lone_set
+                    and iid in un_set
+                    and s >= lone_min
+                    and d <= up_radius
+                ):
+                    rev.setdefault(eid, []).append((-s, d, iid, s))
+            for lst in rev.values():
+                lst.sort()
+            uhold = galeshapley(rev, lambda s, d, eid: (-s, d, eid))
+            for iid, (s, d, eid) in uhold.items():
+                upgrades[eid] = (s, d, iid)
+            lone_elems = [eid for eid in lone_elems if eid not in upgrades]
+            un_items = [iid for iid in un_items if iid not in uhold]
+
+        out = []
+        for eid, (s, d, iid) in list(hold.items()) + list(upgrades.items()):
+            far = d > match_d
+            out.append(
+                (KIND_MATCHED_FAR if far else KIND_MATCHED, eid, iid, d, s, far, bucket)
+            )
+        out.extend((KIND_UNMATCHED_ITEM, None, iid, None, None, None, bucket) for iid in un_items)
+        out.extend((KIND_UNMATCHED_OSM, eid, None, None, None, None, bucket) for eid in plain_un)
+        out.extend((KIND_LONE_OSM, eid, None, None, None, None, bucket) for eid in lone_elems)
+        return pd.DataFrame(out, columns=cols)
+
+    return solve
+
+
+_CORR_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("osm_id", T.LongType()),
+        T.StructField("item_id", T.StringType()),
+        T.StructField("distance", T.DoubleType()),
+        T.StructField("strength", T.IntegerType()),
+        T.StructField("far", T.BooleanType()),
+        T.StructField("__bucket", T.IntegerType()),
+    ]
+)
+
+
+def checkpointed_correlate(
+    spark: SparkSession,
+    elements: DataFrame,
+    items: DataFrame,
+    params: "CorrelatorParams | None",
+    ck,
+    cc_max_iter: int = 64,
+    small_component_max_pairs: int = 200_000,
+    input_snapshot: str = "",
+    fail_after_batches: int | None = None,  # crash-simulation test hook (big phase)
+    fail_small_before_progress: bool = False,  # crash-simulation hook (small phase)
+) -> DataFrame:
+    """Resumable correlate with EXACT global semantics.
+
+    Naive spatial bucketing breaks the matching: a displacement chain (or
+    simply a best match) can cross any fixed geographic boundary. The
+    correct unit of checkpointing is a CONNECTED COMPONENT of the
+    candidate graph (all strength-carrying pairs within seek_distance): no
+    candidate edge crosses components, so the matching decomposes exactly.
+
+    Execution is two-phase by measured component structure (BENCH.md §4:
+    tens of thousands of components, p50 ~20 nodes, plus the occasional
+    dense giant):
+
+    - SMALL components (candidate pairs <= small_component_max_pairs) are
+      solved inside single Arrow tasks — groupBy(component).applyInPandas
+      replaying the reference's sequential loop — and written for ALL
+      pending hash buckets in ONE single-pass job. Wall time no longer
+      scales with component COUNT (VERDICT r3 item 1); candidate-less
+      singletons don't even enter the grouped map (native expressions).
+    - Each LARGE component gets its own dedicated bucket id
+      (n_buckets + rank) and runs the distributed DA loop — the only
+      place per-round driver latency is still paid, reserved for the
+      handful of Riga-hotspot-style giants that are genuinely one big
+      matching problem.
+
+    Both phases share one staged slim input (elements/items/pairs rows
+    partitioned by bucket — every per-bucket read is partition-pruned)
+    and one progress table; crash/resume semantics come from
+    CheckpointedRun's idempotent dynamic-overwrite writes.
+
+    Returns the unified correlations DataFrame (== correlate(...)
+    .correlations on the same inputs).
+    """
+    from osmalyzer_spark.operators.dedup import connected_components_star
+
+    p = params or CorrelatorParams()
+    if p.match_anywhere:
+        raise ValueError("checkpointed_correlate requires distance-bounded matching")
+    if p.lone_upgrade_unbounded:
+        raise ValueError(
+            "unbounded lone upgrades can cross candidate components; use a "
+            "bounded radius <= seek_distance"
+        )
+    if p.lone_upgrade_radius_m is not None and p.lone_upgrade_radius_m > p.seek_distance:
+        raise ValueError("lone_upgrade_radius_m beyond seek_distance crosses components")
+
+    elems_slim, items_slim, pairs_all = _slim_inputs(spark, elements, items, p)
+    pairs_all = pairs_all.localCheckpoint(eager=True)  # reused 3x below
+
+    edges = pairs_all.select(
+        F.concat(F.lit("i:"), F.col("item_id").cast("string")).alias("id_a"),
+        F.concat(F.lit("e:"), F.col("elem_id").cast("string")).alias("id_b"),
+    )
+    # two-phase star CC: O(log n) rounds regardless of component diameter
+    # (min-label propagation is O(diameter) — a dense hotspot component's
+    # diameter ~ extent/seek, measured in BENCH.md; the star algorithm's
+    # round count is 8 on the 1M/775 m giant component, measured)
+    comps = connected_components_star(edges, max_iter=cc_max_iter).localCheckpoint(
+        eager=True
+    )
+
+    # split components by WORK size (candidate-pair count, the matching
+    # cost driver); the big list is tiny and deterministic, so bucket ids
+    # n_buckets+rank are stable across crash/resume recomputation
+    ekey = F.concat(F.lit("e:"), F.col("elem_id").cast("string"))
+    sizes = (
+        pairs_all.join(
+            comps.select(F.col("id").alias("__k"), "component"), ekey == F.col("__k")
+        )
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    big = sorted(
+        r["component"]
+        for r in sizes.filter(F.col("n_pairs") > small_component_max_pairs).collect()
+    )
+    big_bucket = {c: ck.n_buckets + rank for rank, c in enumerate(big)}
+
+    def bucket_of(selfkey: Column) -> Column:
+        small = F.pmod(
+            F.xxhash64(F.coalesce(F.col("component"), selfkey)), F.lit(ck.n_buckets)
+        ).cast("int")
+        if not big_bucket:
+            return small
+        mapping = F.create_map(
+            *[F.lit(x) for c_b in big_bucket.items() for x in c_b]
+        )
+        return F.coalesce(mapping[F.col("component")].cast("int"), small)
+
+    def tag(df: DataFrame, prefix: str, id_col: str) -> DataFrame:
+        key = F.concat(F.lit(prefix), F.col(id_col).cast("string"))
+        return (
+            df.join(
+                comps.select(F.col("id").alias("__k"), "component"),
+                key == F.col("__k"),
+                "left",
+            )
+            .drop("__k")
+            .withColumn("__single", F.col("component").isNull())
+            .withColumn("__comp", F.coalesce(F.col("component"), key))
+            .withColumn("__cbucket", bucket_of(key))
+            .drop("component")
+        )
+
+    null = F.lit(None)
+    e_rows = tag(elems_slim, "e:", "elem_id").select(
+        F.lit("e").alias("__side"),
+        F.col("elem_id").cast("long").alias("elem_id"),
+        null.cast("string").alias("item_id"),
+        null.cast("int").alias("strength"),
+        null.cast("double").alias("dist_m"),
+        F.col("__lone"),
+        F.lit(False).alias("__outside"),
+        "__single", "__comp", "__cbucket",
+    )
+    i_rows = tag(items_slim, "i:", "item_id").select(
+        F.lit("i").alias("__side"),
+        null.cast("long").alias("elem_id"),
+        F.col("item_id").cast("string").alias("item_id"),
+        null.cast("int").alias("strength"),
+        null.cast("double").alias("dist_m"),
+        F.lit(False).alias("__lone"),
+        F.col("__outside"),
+        "__single", "__comp", "__cbucket",
+    )
+    p_rows = tag(pairs_all, "e:", "elem_id").select(
+        F.lit("p").alias("__side"),
+        F.col("elem_id").cast("long").alias("elem_id"),
+        F.col("item_id").cast("string").alias("item_id"),
+        F.col("strength"),
+        F.col("dist_m"),
+        F.lit(False).alias("__lone"),
+        F.lit(False).alias("__outside"),
+        "__single", "__comp", "__cbucket",
+    )
+    # ONE staged slim table, partitioned by bucket: every per-bucket read
+    # below is partition-pruned (plan-asserted in tests)
+    staged = ck.stage_bucketed(
+        spark,
+        e_rows.unionByName(i_rows).unionByName(p_rows),
+        "corr_input",
+        fingerprint=input_snapshot,
+    )
+
+    solver = _make_component_solver(p)
+    drop_outside = p.polygon is None or not p.report_outside_polygon
+
+    def process_small(sl: DataFrame) -> DataFrame:
+        nul = F.lit(None)
+        # candidate-less singletons: pure expressions, no grouped map
+        singles = sl.filter(F.col("__single"))
+        se = singles.filter(F.col("__side") == "e").select(
+            F.when(F.col("__lone"), F.lit(KIND_LONE_OSM))
+            .otherwise(F.lit(KIND_UNMATCHED_OSM))
+            .alias("kind"),
+            F.col("elem_id").alias("osm_id"),
+            nul.cast("string").alias("item_id"),
+            nul.cast("double").alias("distance"),
+            nul.cast("int").alias("strength"),
+            nul.cast("boolean").alias("far"),
+            F.col("__bucket"),
+        )
+        si = singles.filter(F.col("__side") == "i")
+        if drop_outside:
+            si = si.filter(~F.col("__outside"))
+        si = si.select(
+            F.when(F.col("__outside"), F.lit(KIND_OUTSIDE_BOUNDS))
+            .otherwise(F.lit(KIND_UNMATCHED_ITEM))
+            .alias("kind"),
+            nul.cast("long").alias("osm_id"),
+            F.col("item_id"),
+            nul.cast("double").alias("distance"),
+            nul.cast("int").alias("strength"),
+            nul.cast("boolean").alias("far"),
+            F.col("__bucket"),
+        )
+        grouped = (
+            sl.filter(~F.col("__single"))
+            .groupBy("__comp")
+            .applyInPandas(solver, _CORR_OUT_SCHEMA)
+        )
+        return se.unionByName(si).unionByName(grouped)
+
+    # phase A: ALL small buckets in one job (the grouped map solves each
+    # component inside one Arrow task; tiny components cost no driver round)
+    result = ck.run_single_pass(
+        spark,
+        staged,
+        process_small,
+        bucket_expr=F.col("__cbucket"),
+        input_snapshot=input_snapshot,
+        buckets=list(range(ck.n_buckets)),
+        fail_before_progress=fail_small_before_progress,
+    )
+
+    # phase B: each giant component = one dedicated bucket through the
+    # distributed DA loop (few of these by construction)
+    if big_bucket:
+
+        def process_big(df: DataFrame, bucket: int) -> DataFrame:
+            eb = df.filter(F.col("__side") == "e").select("elem_id", "__lone")
+            ib = df.filter(F.col("__side") == "i").select("item_id", "__outside")
+            pb = df.filter(F.col("__side") == "p").select(
+                "item_id", "elem_id", "strength", "dist_m"
+            )
+            return _assign(spark, eb, ib, pb, p).correlations
+
+        result = ck.run(
+            spark,
+            staged,
+            process_big,
+            bucket_expr=F.col("__cbucket"),
+            input_snapshot=input_snapshot,
+            buckets=sorted(big_bucket.values()),
+            fail_after_batches=fail_after_batches,
+        )
+    elif fail_after_batches is not None and fail_after_batches <= 0:
+        raise RuntimeError("simulated crash before batch 0")
+    return result
+
+
+def correlate(
+    spark: SparkSession,
+    elements: DataFrame,
+    items: DataFrame,
+    params: CorrelatorParams | None = None,
+) -> CorrelationResult:
+    """Run the correlator.
+
+    `elements` needs columns (elem_id, elem_lat, elem_lon) plus whatever
+    the strength / lone-allowance expressions reference; `items` needs
+    (item_id, item_lat, item_lon) likewise. All other columns ride into
+    the candidate pairs — keep the inputs slim (no binary payloads).
+    """
+    p = params or CorrelatorParams()
+    elems_slim, items_slim, pairs_all = _slim_inputs(spark, elements, items, p)
+    return _assign(
+        spark, elems_slim, items_slim, pairs_all, p,
+        full_elements=elements, full_items=items,
     )

