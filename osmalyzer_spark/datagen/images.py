@@ -43,6 +43,7 @@ def _phash_of(image_id: str) -> int:
 
 
 def _row(idx: int, seed: int) -> tuple:
+    from osmalyzer_spark.datagen.jpeg import jpeg_encode
     from osmalyzer_spark.datagen.png import png_encode
 
     rng = np.random.default_rng((seed << 32) ^ idx)
@@ -50,6 +51,13 @@ def _row(idx: int, seed: int) -> tuple:
     w = int(rng.integers(8, 33))
     h = int(rng.integers(8, 33))
     rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    # a real corpus is mostly JPEG: every 4th row carries a baseline JPEG
+    # payload (own codec, q=100 keeps the round-trip PSNR far above the
+    # 40 dB row invariant even on noise imagery)
+    if idx % 4 == 1:
+        payload, fmt = jpeg_encode(rgb, quality=100), "jpeg"
+    else:
+        payload, fmt = png_encode(rgb), "png"
     name = NAMES[idx % len(NAMES)]
     street = STREETS[(idx // len(NAMES)) % len(STREETS)]
     housenum = 1 + (idx % 97)
@@ -58,10 +66,10 @@ def _row(idx: int, seed: int) -> tuple:
     caption = f"{name} @ {street} {housenum}{suffix}, {parish}"
     return (
         image_id,
-        bytearray(png_encode(rgb)),
+        bytearray(payload),
         w,
         h,
-        "png",
+        fmt,
         caption,
         _phash_of(image_id),
     )

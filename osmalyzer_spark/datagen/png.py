@@ -6,9 +6,9 @@ handles exactly what the encoder emits plus any standard filter-0 RGB PNG.
 Lossless, so the per-row pixel invariant (PSNR >= 40 dB, here infinite)
 is checkable end-to-end without PIL.
 
-JPEG is a declared stub: the schema/plumbing treat fmt='jpeg' rows
-identically (opaque bytes ride through untouched); only *decoding* them
-raises NotImplementedError until a real codec is available.
+JPEG rows decode through the engine's own from-scratch baseline codec
+(datagen/jpeg.py, round 4) — the PSNR invariant is checkable on the
+dominant real-corpus format too.
 """
 
 from __future__ import annotations
@@ -77,10 +77,9 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "png":
         return png_decode(bytes(data))
     if fmt == "jpeg":
-        # STUB: no JPEG codec in this container. The Spark-side plumbing
-        # (schema, partitioning, UDF batch shape) is identical to PNG;
-        # wire a real decoder here when libjpeg/PIL is available.
-        raise NotImplementedError("jpeg decode not available in this environment")
+        from osmalyzer_spark.datagen.jpeg import jpeg_decode
+
+        return jpeg_decode(bytes(data))
     raise ValueError(f"unknown image format {fmt!r}")
 
 
