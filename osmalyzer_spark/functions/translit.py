@@ -77,3 +77,49 @@ def transliterate_lv_en(name) -> Column:
     c = F.regexp_replace(c, r"(?<!1)3\.\s*$", "3rd")
     c = F.regexp_replace(c, r"(\d)\.\s*$", "$1th")
     return c
+
+
+# --------------------------------------------------------------------------
+# Feature-name qualifier translations (public table: the reference ships it
+# as `data/feature name qualifiers.tsv`; FeatureNameQualifiersAnalysisData.cs
+# parses latvian \t russian \t english with ';'-separated variants).
+# Order matters: ExtractNomenclature (ImproperTranslationAnalyzer.cs:382-398)
+# scans in file order and takes the FIRST suffix match.
+# --------------------------------------------------------------------------
+
+QUALIFIER_TABLE: list[tuple[str, list[str], list[str]]] = [
+    ("iela", ["улица", "ул."], ["street", "st."]),
+    ("bulvāris", ["бульвар"], ["boulevard"]),
+    ("ceļš", ["дорога"], ["road"]),
+    ("gatve", ["гатве", "проспект"], ["gatve"]),
+    ("šoseja", ["шоссе"], ["highway"]),
+    ("tilts", ["мост"], ["bridge"]),
+    ("dambis", ["дамбис", "дамба"], ["dam"]),
+    ("aleja", ["аллея"], ["alley"]),
+    ("apvedceļš", ["окружная дорога"], ["bypass"]),
+    ("laukums", ["площадь"], ["square"]),
+    ("prospekts", ["проспект"], ["avenue"]),
+    ("pārvads", ["переезд"], ["crossing"]),
+    ("līnija", ["линия"], ["line"]),
+    ("šķērslīnija", ["поперечная линия"], ["cross line"]),
+    ("krastmala", ["набережная"], ["waterfront"]),
+    ("stacija", ["станция"], ["station"]),
+]
+
+
+def transliterate_lv_ru_py(name: str) -> str:
+    """Pure-Python mirror of :func:`transliterate_lv_ru` (the Column
+    cascade above), used to generate test fixtures and oracle literals.
+
+    It deliberately re-applies the SAME rule table through Python's `re`
+    engine — an independent execution path from Spark's Java regex — so a
+    driver query comparing the two is a genuine differential test of the
+    cascade (reference: Osmalyzer/Misc/Transliterator.cs:5-88).
+    """
+    import re
+
+    s = name
+    for pat, rep in _RULES:
+        s = re.sub(pat, rep.replace("$1", r"\1"), s)
+    s = s.translate(str.maketrans(_LAT, _CYR))
+    return s.replace("ьйо", "ё")

@@ -1679,6 +1679,133 @@ _ORACLES: dict[str, str] = {
 }
 
 
+# --------------------------------------------------------------------------
+# q34 — ImproperTranslationAnalyzer exemplar (VERDICT r3 item 4)
+#
+# The REAL engine path (functions/translation_check.py: native nomenclature
+# when-chain + the Java-regex transliteration cascade + the weighted-
+# Levenshtein pandas UDF) runs in Spark over synthesized street elements;
+# the oracle re-synthesizes the same input and predicts the verdicts with
+# translit literals generated by the INDEPENDENT pure-Python `re` mirror
+# (transliterate_lv_ru_py) — a differential test of the cascade, the
+# expected-name construction (both word orders, the digit '-я/-й' special
+# case, multi-variant qualifiers) and the match classification
+# (reference: ImproperTranslationAnalyzer.cs:199-425).
+# --------------------------------------------------------------------------
+
+_Q34_STEMS = [
+    "Elizabetes", "Meistaru", "Kļavu", "Stacijas", "Kaņepju",
+    "Tērbatas", "Ģertrūdes", "Matīsa", "Brīvības", "Eizenšteina",
+]
+# (qualifier, [ru prefix variants]) for the three word-qualifier branches
+_Q34_QUALS = [("iela", ["улица", "ул."]), ("bulvāris", ["бульвар"]), ("gatve", ["гатве", "проспект"])]
+
+_Q34_CHEAP_PARTNER = {
+    "е": "э", "э": "е", "ё": "е", "и": "й", "й": "и", "ш": "щ",
+    "щ": "ш", "х": "г", "г": "х", "а": "я", "я": "а", "ы": "и",
+}
+
+
+def _q34_corrupt(s: str) -> str:
+    """One confusable-pair substitution (weighted distance exactly 0.5)."""
+    for i, ch in enumerate(s):
+        if ch in _Q34_CHEAP_PARTNER:
+            return s[:i] + _Q34_CHEAP_PARTNER[ch] + s[i + 1 :]
+    raise ValueError(f"no confusable char in {s!r}")
+
+
+def _q34_case(key: str, pairs: list[tuple[str, str]]) -> str:
+    whens = " ".join(f"WHEN {k} THEN '{v}'" for k, v in pairs)
+    return f"(CASE {key} {whens} END)"
+
+
+def _q34_sql_parts() -> dict[str, str]:
+    from osmalyzer_spark.functions.translit import transliterate_lv_ru_py as t
+
+    stem = _q34_case("(c_custkey) % 10", [(str(i), s) for i, s in enumerate(_Q34_STEMS)])
+    tl = _q34_case("(c_custkey) % 10", [(str(i), t(s)) for i, s in enumerate(_Q34_STEMS)])
+    corr = _q34_case(
+        "(c_custkey) % 10", [(str(i), _q34_corrupt(t(s))) for i, s in enumerate(_Q34_STEMS)]
+    )
+    k = "CAST((c_custkey) % 9 + 1 AS STRING)"
+    qual = _q34_case("(c_custkey) % 5", [(str(i), q) for i, (q, _) in enumerate(_Q34_QUALS)])
+    name = f"""(CASE (c_custkey) % 5
+        WHEN 3 THEN {k} || '. līnija'
+        WHEN 4 THEN {stem}
+        ELSE {stem} || ' ' || {qual} END)"""
+    # translit of the raw (qualifier-stripped) name: the digit rows drop
+    # the period -> just the number
+    tt = f"(CASE WHEN (c_custkey) % 5 = 3 THEN {k} ELSE {tl} END)"
+    p1 = _q34_case(
+        "(c_custkey) % 5",
+        [(str(i), ps[0]) for i, (_, ps) in enumerate(_Q34_QUALS)] + [("3", "линия")],
+    )
+    p2 = _q34_case(
+        "(c_custkey) % 5",
+        [(str(i), ps[1] if len(ps) > 1 else ps[0]) for i, (_, ps) in enumerate(_Q34_QUALS)]
+        + [("3", "линия")],
+    )
+    digit = "(c_custkey) % 5 = 3"
+    cand0 = f"(CASE WHEN {digit} THEN {tt} || '-я ' || {p1} ELSE {p1} || ' ' || {tt} END)"
+    cand1 = f"(CASE WHEN {digit} THEN {tt} || '-й ' || {p1} ELSE {tt} || ' ' || {p1} END)"
+    cand2 = f"(CASE WHEN {digit} THEN {tt} || '-я ' || {p1} ELSE {p2} || ' ' || {tt} END)"
+    good = f"(CASE WHEN {digit} THEN {tt} || '-я лыния' ELSE {p1} || ' ' || {corr} END)"
+    ru = f"""(CASE WHEN (c_custkey) % 5 = 4 THEN 'игнор' ELSE
+        CASE (c_custkey) % 7
+        WHEN 0 THEN {cand0}
+        WHEN 1 THEN {cand1}
+        WHEN 2 THEN {cand2}
+        WHEN 3 THEN upper({cand0})
+        WHEN 4 THEN {good}
+        WHEN 5 THEN 'переулок ' || {tt}
+        ELSE 'тест' END END)"""
+    return {"name": name, "ru": ru, "cand0": cand0, "cand1": cand1, "cand2": cand2}
+
+
+def q34_improper_translation(spark, sf_dir):
+    """Validator exemplar: name:ru vs the LV->RU transliteration cascade
+    (ImproperTranslationAnalyzer.cs Run + CheckElementsTranliteration)."""
+    from osmalyzer_spark.functions.translation_check import check_translations
+
+    parts = _q34_sql_parts()
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("elem_id"),
+        F.expr(parts["name"]).alias("nm"),
+        F.expr(parts["ru"]).alias("ru"),
+    )
+    elements = c.select(
+        "elem_id",
+        F.map_from_arrays(
+            F.array(F.lit("name"), F.lit("name:ru")), F.array("nm", "ru")
+        ).alias("tags"),
+    )
+    out = check_translations(elements, "ru", nomenclature_required=True)
+    return out.select(
+        F.col("elem_id").alias("custkey"), "name", "actual", "expected", "verdict"
+    )
+
+
+def _q34_oracle_sql() -> str:
+    parts = _q34_sql_parts()
+    return f"""
+        SELECT c_custkey AS custkey,
+               {parts["name"]} AS name,
+               {parts["ru"]} AS actual,
+               CASE WHEN (c_custkey) % 5 = 4 THEN ''
+                    WHEN (c_custkey) % 7 = 1 THEN {parts["cand1"]}
+                    WHEN (c_custkey) % 7 = 2 THEN {parts["cand2"]}
+                    ELSE {parts["cand0"]} END AS expected,
+               CASE WHEN (c_custkey) % 5 = 4 THEN 'ignored'
+                    WHEN (c_custkey) % 7 <= 3 THEN 'exact'
+                    WHEN (c_custkey) % 7 = 4 THEN 'good_enough'
+                    ELSE 'mismatch' END AS verdict
+        FROM customer
+    """
+
+
+_ORACLES["q34_improper_translation"] = _q34_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1714,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_opening_hours": q31_opening_hours,
         "q32_ivf_ann": q32_ivf_ann,
         "q33_pt_pipeline": q33_pt_pipeline,
+        "q34_improper_translation": q34_improper_translation,
     }
 
 
