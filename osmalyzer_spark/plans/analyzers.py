@@ -460,3 +460,86 @@ def spawner_pass(unmatched_items: DataFrame, base_tags: dict[str, str]) -> DataF
         F.col("item_lon").alias("lon"),
         tags.alias("suggested_tags"),
     )
+
+
+def _trolley_route_ways(routes: DataFrame, ways: DataFrame) -> DataFrame:
+    """Way members of trolleybus route relations with their trolley_wire
+    tag triplet attached.
+
+    Mirrors the member walk of TrolleybusWireAnalyzer.Run
+    (Osmalyzer/Analyzers/Public Transport/TrolleybusWireAnalyzer.cs:38-60):
+    skip unresolved members (`member.Element == null`), non-way members,
+    and role='platform' members; one row per remaining member OCCURRENCE
+    (a way on two routes — or listed twice in one relation — is checked
+    each time, as the reference's per-member loop does)."""
+    from osmalyzer_spark.operators.osm import resolve_relation_members
+
+    members = resolve_relation_members(
+        routes.select("id", "members"),
+        ways.select(F.lit("way").alias("type"), "id"),
+    ).filter(
+        (F.col("member_type") == "way")
+        & (F.col("role") != "platform")
+        & F.col("resolved")
+    )
+    names = routes.select(
+        F.col("id").alias("relation_id"),
+        get_value("tags", "name").alias("route_name"),
+    )
+    wire_tags = ways.select(
+        F.col("id").alias("member_ref"),
+        get_value("tags", "trolley_wire").alias("tw"),
+        get_value("tags", "trolley_wire:forward").alias("twf"),
+        get_value("tags", "trolley_wire:backward").alias("twb"),
+    )
+    return members.join(wire_tags, "member_ref").join(names, "relation_id")
+
+
+def trolleybus_wire_check(routes: DataFrame, ways: DataFrame) -> DataFrame:
+    """Trolleybus wire validator: per-way trolley_wire tagging issues.
+
+    Classification is the reference's exclusive if-chain
+    (TrolleybusWireAnalyzer.cs:74-140): main value conflicting with any
+    directional subvalue > unknown main value > unknown directional
+    value(s) — forward and backward can BOTH fire on one way > missing
+    entirely. Ways with trolley_wire in {yes, no} (or valid directional
+    values) produce no row. Output: (relation_id, route_name, way_id,
+    issue), one row per issue per member occurrence."""
+    t = _trolley_route_ways(routes, ways)
+    main = F.col("tw").isNotNull()
+    sub = F.col("twf").isNotNull() | F.col("twb").isNotNull()
+    valid = lambda c: c.isin("yes", "no")  # noqa: E731
+    issues = F.array(
+        F.when(main & sub, F.lit("conflicting_subvalues")),
+        F.when(main & ~sub & ~valid(F.col("tw")), F.lit("unknown_value")),
+        F.when(
+            ~main & F.col("twf").isNotNull() & ~valid(F.col("twf")),
+            F.lit("unknown_forward_value"),
+        ),
+        F.when(
+            ~main & F.col("twb").isNotNull() & ~valid(F.col("twb")),
+            F.lit("unknown_backward_value"),
+        ),
+        F.when(~main & ~sub, F.lit("missing")),
+    )
+    return t.select(
+        "relation_id",
+        "route_name",
+        F.col("member_ref").alias("way_id"),
+        F.explode(F.filter(issues, lambda x: x.isNotNull())).alias("issue"),
+    )
+
+
+def trolleybus_wire_stats(routes: DataFrame, ways: DataFrame) -> DataFrame:
+    """The reference's Stats group (TrolleybusWireAnalyzer.cs:157-180):
+    distinct routed ways, and how many carry trolley_wire=yes / =no."""
+    t = _trolley_route_ways(routes, ways)
+    return t.agg(
+        F.countDistinct("member_ref").alias("n_routed_ways"),
+        F.countDistinct(F.when(F.col("tw") == "yes", F.col("member_ref"))).alias(
+            "n_wire_yes"
+        ),
+        F.countDistinct(F.when(F.col("tw") == "no", F.col("member_ref"))).alias(
+            "n_wire_no"
+        ),
+    )

@@ -1806,6 +1806,157 @@ def _q34_oracle_sql() -> str:
 _ORACLES["q34_improper_translation"] = _q34_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q35 — TrolleybusWireAnalyzer exemplar (VERDICT r3 item 5)
+#
+# Route relations come from orders (every 13th order is a trolleybus
+# route); their members are the order's lineitems (partkey = way ref,
+# linenumber drives member type / role / a deliberately dangling ref).
+# Way trolley_wire tags are a modulo table over part covering every
+# classification branch. The Spark side builds REAL nested OSM relations
+# (members array) and runs resolve_relation_members + the native
+# when-chain (plans/analyzers.py trolleybus_wire_check); the oracle is
+# the flat relational equivalent — UNION ALL over the exclusive if-chain.
+# --------------------------------------------------------------------------
+
+_Q35_TW = (
+    "CASE WHEN p_partkey % 12 IN (0,1,4) THEN 'yes' "
+    "WHEN p_partkey % 12 = 2 THEN 'no' "
+    "WHEN p_partkey % 12 = 3 THEN 'bad' END"
+)
+_Q35_TWF = (
+    "CASE WHEN p_partkey % 12 IN (4,5) THEN 'yes' "
+    "WHEN p_partkey % 12 IN (6,9) THEN 'maybe' END"
+)
+_Q35_TWB = (
+    "CASE WHEN p_partkey % 12 = 7 THEN 'no' "
+    "WHEN p_partkey % 12 IN (8,9) THEN 'nope' END"
+)
+
+
+def _q35_routes(spark, sf_dir):
+    """Nested route relations: id, tags{name}, members array<struct>."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 13 == 0)
+    mem = li.select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_linenumber").alias("pos"),
+        F.when(F.col("l_linenumber") % 5 == 4, F.lit("node"))
+        .otherwise(F.lit("way"))
+        .alias("type"),
+        F.when(
+            F.col("l_linenumber") % 7 == 6, F.col("l_partkey") + 1000000
+        )
+        .otherwise(F.col("l_partkey"))
+        .alias("ref"),
+        F.when(F.col("l_linenumber") % 4 == 3, F.lit("platform"))
+        .when(F.col("l_linenumber") % 4 == 2, F.lit("stop"))
+        .otherwise(F.lit(""))
+        .alias("role"),
+    )
+    return (
+        mem.groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("pos", "type", "ref", "role"))
+            ).alias("pm")
+        )
+        .select(
+            "id",
+            F.map_from_arrays(
+                F.array(F.lit("name")),
+                F.array(
+                    F.concat(
+                        F.lit("Trolleybus "),
+                        (F.col("id") % 30 + 1).cast("string"),
+                    )
+                ),
+            ).alias("tags"),
+            F.transform(
+                F.col("pm"),
+                lambda x: F.struct(
+                    x["type"].alias("type"),
+                    x["ref"].alias("ref"),
+                    x["role"].alias("role"),
+                ),
+            ).alias("members"),
+        )
+    )
+
+
+def _q35_ways(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"),
+        F.expr(_Q35_TW).alias("tw"),
+        F.expr(_Q35_TWF).alias("twf"),
+        F.expr(_Q35_TWB).alias("twb"),
+    )
+    entries = F.filter(
+        F.array(
+            F.struct(F.lit("trolley_wire").alias("key"), F.col("tw").alias("value")),
+            F.struct(
+                F.lit("trolley_wire:forward").alias("key"), F.col("twf").alias("value")
+            ),
+            F.struct(
+                F.lit("trolley_wire:backward").alias("key"), F.col("twb").alias("value")
+            ),
+        ),
+        lambda e: e["value"].isNotNull(),
+    )
+    return p.select("id", F.map_from_entries(entries).alias("tags"))
+
+
+def q35_trolleybus_wires(spark, sf_dir):
+    """Route-relation way membership + per-way trolley_wire tag check
+    (TrolleybusWireAnalyzer.cs Run), driven through the real nested-
+    relation path: members array -> resolve_relation_members -> tag join
+    -> native classification when-chain."""
+    from osmalyzer_spark.plans.analyzers import trolleybus_wire_check
+
+    out = trolleybus_wire_check(_q35_routes(spark, sf_dir), _q35_ways(spark, sf_dir))
+    return out.select("relation_id", "route_name", "way_id", "issue")
+
+
+_ORACLES["q35_trolleybus_wires"] = f"""
+    WITH mem AS (
+        SELECT l_orderkey AS relation_id,
+               CASE WHEN l_linenumber % 5 = 4 THEN 'node' ELSE 'way' END AS member_type,
+               CASE WHEN l_linenumber % 7 = 6 THEN l_partkey + 1000000
+                    ELSE l_partkey END AS member_ref,
+               CASE WHEN l_linenumber % 4 = 3 THEN 'platform'
+                    WHEN l_linenumber % 4 = 2 THEN 'stop'
+                    ELSE '' END AS role
+        FROM lineitem WHERE l_orderkey % 13 = 0
+    ),
+    w AS (
+        SELECT p_partkey AS way_id,
+               {_Q35_TW} AS tw, {_Q35_TWF} AS twf, {_Q35_TWB} AS twb
+        FROM part
+    ),
+    j AS (
+        SELECT relation_id,
+               'Trolleybus ' || CAST(relation_id % 30 + 1 AS VARCHAR) AS route_name,
+               way_id, tw, twf, twb
+        FROM mem JOIN w ON member_ref = way_id
+        WHERE member_type = 'way' AND role <> 'platform'
+    )
+    SELECT relation_id, route_name, way_id, 'conflicting_subvalues' AS issue
+    FROM j WHERE tw IS NOT NULL AND (twf IS NOT NULL OR twb IS NOT NULL)
+    UNION ALL
+    SELECT relation_id, route_name, way_id, 'unknown_value'
+    FROM j WHERE tw IS NOT NULL AND twf IS NULL AND twb IS NULL
+             AND tw NOT IN ('yes', 'no')
+    UNION ALL
+    SELECT relation_id, route_name, way_id, 'unknown_forward_value'
+    FROM j WHERE tw IS NULL AND twf IS NOT NULL AND twf NOT IN ('yes', 'no')
+    UNION ALL
+    SELECT relation_id, route_name, way_id, 'unknown_backward_value'
+    FROM j WHERE tw IS NULL AND twb IS NOT NULL AND twb NOT IN ('yes', 'no')
+    UNION ALL
+    SELECT relation_id, route_name, way_id, 'missing'
+    FROM j WHERE tw IS NULL AND twf IS NULL AND twb IS NULL
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1842,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_ivf_ann": q32_ivf_ann,
         "q33_pt_pipeline": q33_pt_pipeline,
         "q34_improper_translation": q34_improper_translation,
+        "q35_trolleybus_wires": q35_trolleybus_wires,
     }
 
 
