@@ -254,6 +254,93 @@ def kmeans_centroids(
     return np.arange(n_centroids, dtype=np.int64), cent
 
 
+def kmeans_centroids_exact(
+    df: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 3,
+    hash_mult: int = 2654435761,
+    hash_mod: int = 1000003,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lloyd's k-means entirely in EXACT integer arithmetic, so the run is
+    bit-reproducible in plain SQL (the q36 driver gate replays it in
+    DuckDB, iteration by iteration).
+
+    Same distributed shape as :func:`kmeans_centroids` (one partial-sum
+    mapInPandas pass per iteration, no vector shuffle) with three exactness
+    substitutions:
+
+    * vectors are quantized ONCE: ``floor(float64(v) * QUANT)`` int64 —
+      the same quantization every oracle here uses;
+    * distances are integer L2 computed via float64 matmul, exact because
+      every term is < 2**48 < 2**53;
+    * centroid update is element-wise FLOOR DIVISION ``sum // count``
+      (empty clusters keep their centroid), expressible in SQL as
+      ``(s - ((s % n + n) % n)) // n``.
+
+    Seeding is a portable multiplicative hash — the ``n_centroids`` rows
+    with the smallest ``((id * hash_mult) % hash_mod, id)`` — instead of
+    xxhash64 (which DuckDB lacks). Returns (cent_ids = arange(k), cent_q
+    int64 (k, dim)) directly in quantized space: ready for
+    ivf_assignments_col with NO further quantization.
+    """
+    seed_rows = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn("__h", (F.col("__id") * F.lit(hash_mult)) % F.lit(hash_mod))
+        .orderBy("__h", "__id")
+        .limit(n_centroids)
+        .collect()
+    )
+    if len(seed_rows) < n_centroids:
+        raise ValueError(
+            f"need >= {n_centroids} rows to seed k-means, got {len(seed_rows)}"
+        )
+    cent = np.floor(
+        np.array([r["__v"] for r in seed_rows], dtype=np.float64) * QUANT
+    ).astype(np.int64)
+    vecs = df.select(F.col(vec_col).alias("__v"))
+
+    for _ in range(n_iter):
+        c = cent.astype(np.float64)  # exact: |values| < 2**21
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                q = np.floor(
+                    np.array(list(pdf["__v"]), dtype=np.float64) * QUANT
+                )
+                d = (
+                    (q * q).sum(axis=1, keepdims=True)
+                    - 2.0 * (q @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                cid = np.argmin(d, axis=1)  # first occurrence == lowest index
+                qi = q.astype(np.int64)
+                rows = []
+                for ci in np.unique(cid):
+                    sel = qi[cid == ci]
+                    rows.append((int(ci), sel.sum(axis=0).tolist(), int(sel.shape[0])))
+                yield pd.DataFrame(rows, columns=["cid", "s", "n"])
+
+        agg = vecs.mapInPandas(partials, "cid int, s array<long>, n long").collect()
+        sums = np.zeros_like(cent)
+        counts = np.zeros(len(cent), dtype=np.int64)
+        for r in agg:
+            sums[r["cid"]] += np.asarray(r["s"], dtype=np.int64)
+            counts[r["cid"]] += r["n"]
+        nonempty = counts > 0
+        new_cent = cent.copy()  # empty clusters keep their centroid
+        new_cent[nonempty] = np.floor_divide(
+            sums[nonempty], counts[nonempty, None]
+        )
+        if np.array_equal(new_cent, cent):
+            break  # fixed point: further (SQL) iterations are no-ops
+        cent = new_cent
+    return np.arange(n_centroids, dtype=np.int64), cent
+
+
 def cosine_topk_ivf(
     candidates: DataFrame,
     probes: DataFrame,
@@ -284,6 +371,12 @@ def cosine_topk_ivf(
             candidates, n_centroids, id_col, vec_col, kmeans_iter, kmeans_seed
         )
         cent_q = np.floor(cent_mat * QUANT).astype(np.int64)
+    elif centroids == "kmeans_exact":
+        # integer-space Lloyd's (already quantized — see
+        # kmeans_centroids_exact): the SQL-replayable production quantizer
+        cent_ids, cent_q = kmeans_centroids_exact(
+            candidates, n_centroids, id_col, vec_col, kmeans_iter
+        )
     elif centroids == "by_id":
         cent_rows = sorted(
             candidates.filter(F.col(id_col) < n_centroids).select(id_col, vec_col).collect(),
@@ -294,7 +387,9 @@ def cosine_topk_ivf(
             np.array([r[vec_col] for r in cent_rows], dtype=np.float64) * QUANT
         ).astype(np.int64)
     else:
-        raise ValueError(f"centroids must be 'by_id' or 'kmeans', got {centroids!r}")
+        raise ValueError(
+            f"centroids must be 'by_id', 'kmeans' or 'kmeans_exact', got {centroids!r}"
+        )
 
     c = candidates.select(
         F.col(id_col).alias("cand_id"),

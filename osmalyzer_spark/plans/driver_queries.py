@@ -1957,6 +1957,140 @@ _ORACLES["q35_trolleybus_wires"] = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# q36 — IVF ANN on the k-means production quantizer (VERDICT r3 item 6)
+#
+# q32 gates the IVF machinery on the deterministic by-id centroid set; the
+# k-means path was only recall-tested. This query gates REAL Lloyd's
+# iterations: kmeans_centroids_exact runs in exact integer arithmetic
+# (quantized vectors, int L2 distances via exact-float64 matmul, floor-div
+# centroid updates, portable multiplicative-hash seeding), so the oracle
+# replays every iteration bit-for-bit in DuckDB as an unrolled CTE chain —
+# seed ranking, argmin assignment, per-dimension integer sums, floor-div
+# update — then runs the identical nprobe search + exact cosine rerank.
+# --------------------------------------------------------------------------
+
+_Q36_K = 8
+_Q36_NPROBE = 2
+_Q36_TOPK = 3
+_Q36_ITER = 3
+
+
+def q36_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with the k-means coarse quantizer (exact-arithmetic Lloyd's,
+    similarity.py kmeans_centroids_exact) — distributed partial-sum passes,
+    no vector shuffle; assignment + rerank identical to q32."""
+    from osmalyzer_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 20)
+    return cosine_topk_ivf(
+        emb,
+        probes,
+        k=_Q36_TOPK,
+        n_centroids=_Q36_K,
+        nprobe=_Q36_NPROBE,
+        centroids="kmeans_exact",
+        kmeans_iter=_Q36_ITER,
+    )
+
+
+def _ivf_kmeans_oracle_sql(
+    k: int, nprobe: int, topk: int, n_iter: int, dim: int, probe_pred: str
+) -> str:
+    def dist(qv: str, cq: str) -> str:
+        # exact: every term < 2**48, representable in float64
+        return (
+            f"list_dot_product(CAST({qv} AS DOUBLE[]), CAST({qv} AS DOUBLE[]))"
+            f" - 2 * list_dot_product(CAST({qv} AS DOUBLE[]), CAST({cq} AS DOUBLE[]))"
+            f" + list_dot_product(CAST({cq} AS DOUBLE[]), CAST({cq} AS DOUBLE[]))"
+        )
+
+    parts = [
+        f"q AS ({_quantized_emb_cte()})",
+        f"""cent0 AS (
+          SELECT CAST(rn - 1 AS BIGINT) AS cid, qv AS cq FROM (
+            SELECT qv, row_number() OVER (
+              ORDER BY (vec_id * 2654435761) % 1000003 ASC, vec_id ASC) AS rn
+            FROM q) WHERE rn <= {k})""",
+    ]
+    for it in range(n_iter):
+        parts.append(
+            f"""asg{it} AS (
+          SELECT q.vec_id, c.cid, row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {dist("q.qv", "c.cq")} ASC, c.cid ASC) AS rn
+          FROM q CROSS JOIN cent{it} c)"""
+        )
+        parts.append(
+            f"""sums{it} AS (
+          SELECT a.cid, t.i, SUM(q.qv[t.i]) AS s, COUNT(*) AS n
+          FROM asg{it} a JOIN q USING (vec_id), range(1, {dim + 1}) t(i)
+          WHERE a.rn = 1 GROUP BY a.cid, t.i)"""
+        )
+        # floor division (sign-correct for negative sums), exact because
+        # the adjusted numerator is divisible by n
+        parts.append(
+            f"""cent{it + 1} AS (
+          SELECT c.cid, COALESCE(u.cq, c.cq) AS cq
+          FROM cent{it} c LEFT JOIN (
+            SELECT cid,
+                   list(CAST((s - ((s % n + n) % n)) // n AS BIGINT) ORDER BY i) AS cq
+            FROM sums{it} GROUP BY cid) u USING (cid))"""
+        )
+    fin = f"cent{n_iter}"
+    parts.append(
+        f"""fasg AS (
+          SELECT q.vec_id, c.cid, row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {dist("q.qv", "c.cq")} ASC, c.cid ASC) AS rn
+          FROM q CROSS JOIN {fin} c)"""
+    )
+    parts.append(
+        """cand AS (
+          SELECT a.vec_id AS cand_id, a.cid, q.v
+          FROM fasg a JOIN q USING (vec_id) WHERE a.rn = 1)"""
+    )
+    parts.append(
+        f"""pr AS (
+          SELECT a.vec_id AS probe_id, a.cid, q.v
+          FROM fasg a JOIN q USING (vec_id)
+          WHERE a.rn <= {nprobe} AND {probe_pred})"""
+    )
+    parts.append(
+        """pairs AS (
+          SELECT DISTINCT pr.probe_id, cand.cand_id, pr.v AS pv, cand.v AS cv
+          FROM pr JOIN cand ON pr.cid = cand.cid AND pr.probe_id <> cand.cand_id)"""
+    )
+    cos = (
+        "list_dot_product(pv, cv) / (sqrt(list_dot_product(pv, pv)) *"
+        " sqrt(list_dot_product(cv, cv)))"
+    )
+    parts.append(
+        f"""ranked AS (
+          SELECT probe_id, cand_id, {cos} AS cos,
+                 row_number() OVER (
+                   PARTITION BY probe_id ORDER BY {cos} DESC, cand_id ASC) AS rank
+          FROM pairs)"""
+    )
+    body = ",\n        ".join(parts)
+    return f"""
+        WITH {body}
+        SELECT probe_id, cand_id, round(cos, 6) AS cosine, rank
+        FROM ranked WHERE rank <= {topk}
+    """
+
+
+_ORACLES["q36_ivf_kmeans"] = _ivf_kmeans_oracle_sql(
+    k=_Q36_K,
+    nprobe=_Q36_NPROBE,
+    topk=_Q36_TOPK,
+    n_iter=_Q36_ITER,
+    dim=_EMB_DIM,
+    probe_pred="a.vec_id < 20",
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1994,6 +2128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_pt_pipeline": q33_pt_pipeline,
         "q34_improper_translation": q34_improper_translation,
         "q35_trolleybus_wires": q35_trolleybus_wires,
+        "q36_ivf_kmeans": q36_ivf_kmeans,
     }
 
 

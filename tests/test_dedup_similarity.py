@@ -290,6 +290,52 @@ def test_kmeans_ivf_cosines_exact(spark, emb):
         )
 
 
+def test_kmeans_exact_integer_space(spark, emb):
+    """The SQL-replayable exact-arithmetic Lloyd's (q36's quantizer):
+    deterministic, integer-valued, and its numpy oracle reproduces it."""
+    from osmalyzer_spark.operators.similarity import (
+        QUANT,
+        kmeans_centroids_exact,
+    )
+
+    ids1, c1 = kmeans_centroids_exact(emb, 8, n_iter=3)
+    ids2, c2 = kmeans_centroids_exact(emb, 8, n_iter=3)
+    assert np.array_equal(c1, c2) and c1.dtype == np.int64
+
+    # single-process oracle: same seeding, same integer Lloyd's
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: ((r["vec_id"] * 2654435761) % 1000003, r["vec_id"]))
+    q = np.floor(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * QUANT
+    ).astype(np.int64)
+    cent = q[:8].copy()
+    for _ in range(3):
+        cf, qf = cent.astype(np.float64), q.astype(np.float64)
+        d = (qf * qf).sum(1, keepdims=True) - 2 * (qf @ cf.T) + (cf * cf).sum(1)
+        cid = np.argmin(d, axis=1)
+        new = cent.copy()
+        for ci in range(8):
+            sel = q[cid == ci]
+            if len(sel):
+                new[ci] = np.floor_divide(sel.sum(axis=0), len(sel))
+        if np.array_equal(new, cent):
+            break
+        cent = new
+    assert np.array_equal(c1, cent)
+
+
+def test_kmeans_exact_ivf_recall(spark, emb):
+    """kmeans_exact end-to-end: planted neighbors recovered as top-1."""
+    from osmalyzer_spark.operators.similarity import cosine_topk_ivf
+
+    probes = emb.filter(F.col("vec_id").isin([0, 1, 2]))
+    got = cosine_topk_ivf(
+        emb, probes, k=2, n_centroids=8, nprobe=2, centroids="kmeans_exact"
+    ).collect()
+    top1 = {r["probe_id"]: r["cand_id"] for r in got if r["rank"] == 1}
+    assert top1 == {0: 300, 1: 301, 2: 302}
+
+
 def test_md5_batch_bit_parity_with_hashlib():
     import hashlib
     import os
