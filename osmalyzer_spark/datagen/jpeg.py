@@ -585,3 +585,58 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         return np.stack([y, y, y], axis=-1)
     ycc = np.stack(planes[:3], axis=-1)
     return ycbcr_to_rgb(ycc)
+
+
+# ---------------------------------------------------------------------------
+# MJPEG: the de-facto Motion-JPEG stream — complete baseline JPEG images
+# back to back. Splitting walks each image's real marker structure
+# (segment lengths, entropy-coded scan data with 0xFF00 byte stuffing and
+# RSTn markers) instead of naively searching for 0xFFD9, which can occur
+# inside stuffed entropy data of a corrupt-length scan.
+# ---------------------------------------------------------------------------
+
+
+def mjpeg_pack(frames: list[bytes]) -> bytes:
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise ValueError("MJPEG frame must be a complete JPEG (SOI missing)")
+    return b"".join(frames)
+
+
+def mjpeg_split(blob: bytes) -> list[bytes]:
+    """Split a concatenated-JPEG (MJPEG) stream into one bytes per frame."""
+    frames = []
+    off = 0
+    n = len(blob)
+    while off < n:
+        if blob[off : off + 2] != b"\xff\xd8":
+            raise ValueError(f"expected SOI at offset {off}")
+        pos = off + 2
+        while True:
+            if pos + 2 > n:
+                raise ValueError("truncated JPEG frame (no EOI)")
+            if blob[pos] != 0xFF:
+                raise ValueError(f"expected marker at offset {pos}")
+            m = blob[pos + 1]
+            if m == 0xD9:  # EOI
+                pos += 2
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM / bare RSTn
+                pos += 2
+                continue
+            (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+            pos += 2 + seg_len
+            if m == 0xDA:  # SOS: consume entropy-coded data
+                while True:
+                    nxt = blob.find(b"\xff", pos)
+                    if nxt < 0 or nxt + 1 >= n:
+                        raise ValueError("truncated scan data")
+                    t = blob[nxt + 1]
+                    if t == 0x00 or 0xD0 <= t <= 0xD7:  # stuffing / RSTn
+                        pos = nxt + 2
+                        continue
+                    pos = nxt  # real marker: let the outer loop handle it
+                    break
+        frames.append(blob[off:pos])
+        off = pos
+    return frames

@@ -6,14 +6,22 @@ Arrow batches — batch sizes are bounded by
 spark.sql.execution.arrow.maxRecordsPerBatch (set low in session.py
 because payload rows are fat).
 
-Real in this environment: PNG decode/encode (stdlib codec), PSNR
-integrity check, nearest-neighbor resize, mean-color feature extraction,
-video frame sampling over the RAWV raw container (concatenated PNG
-frames) and audio features over RAWA raw PCM (datagen/rawmedia.py).
-Declared stubs (no codec libs in container): compressed codecs — JPEG,
-h264-style video, mp3-style audio — raise NotImplementedError per row;
+Real in this environment — every codec below is a from-scratch
+implementation of its public spec (no codec libs in the container):
+
+* images: PNG (datagen/png.py) and baseline JPEG (datagen/jpeg.py) —
+  decode/encode, PSNR integrity check, nearest-neighbor resize,
+  mean-color feature extraction;
+* video: RAWV raw container (concatenated PNG frames) and MJPEG
+  (concatenated baseline JPEGs, real marker-structure splitting —
+  datagen/jpeg.py mjpeg_split) frame sampling;
+* audio: RAWA raw PCM container and RIFF/WAV with 16-bit PCM or IMA
+  ADPCM compression (datagen/wav_adpcm.py, block-vectorized).
+
+Remaining declared stubs: inter-frame video codecs (h264-class) and
+transform audio codecs (mp3-class) raise NotImplementedError per row;
 the Spark-side plumbing (schema, Arrow batching, explode shape) is the
-same code path the raw containers exercise end-to-end.
+identical code path the real codecs exercise end-to-end.
 """
 
 from __future__ import annotations
@@ -124,34 +132,41 @@ def sample_video_frames(
     """Video frame sampling: one exploded row per kept frame.
 
     REAL for fmt='rawv' (the engine's raw container of concatenated PNG
-    frames, datagen/rawmedia.py); compressed codecs (h264/...) raise a
-    declared NotImplementedError per row — the Spark plumbing (schema,
-    Arrow batching, explode shape) is identical either way. Output:
-    (id, frame_idx, bytes png, w, h)."""
+    frames, datagen/rawmedia.py) and fmt='mjpg' (MJPEG — concatenated
+    baseline JPEGs, split by real marker walking, datagen/jpeg.py);
+    inter-frame codecs (h264-class) raise a declared NotImplementedError
+    per row — the Spark plumbing (schema, Arrow batching, explode shape)
+    is identical either way. Output: (id, frame_idx, bytes, fmt, w, h) —
+    frame bytes keep their source still-image codec (png / jpeg)."""
+    from osmalyzer_spark.datagen.jpeg import mjpeg_split
     from osmalyzer_spark.datagen.rawmedia import unpack_rawv
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for vid, blob, fmt in zip(pdf[id_col], pdf[bytes_col], pdf["fmt"]):
-                if fmt != "rawv":
+                if fmt == "rawv":
+                    frames, ffmt = unpack_rawv(bytes(blob)), "png"
+                elif fmt == "mjpg":
+                    frames, ffmt = mjpeg_split(bytes(blob)), "jpeg"
+                else:
                     raise NotImplementedError(
                         f"no decoder for video format {fmt!r} in this "
-                        "environment (only the rawv container); see "
+                        "environment (rawv and mjpg containers only); see "
                         "multimodal.py docstring"
                     )
-                frames = unpack_rawv(bytes(blob))
                 for idx in range(0, len(frames), every_nth):
-                    px = decode_image(frames[idx], "png")
+                    px = decode_image(frames[idx], ffmt)
                     out.append(
-                        (vid, idx, bytearray(frames[idx]), px.shape[1], px.shape[0])
+                        (vid, idx, bytearray(frames[idx]), ffmt, px.shape[1], px.shape[0])
                     )
             yield pd.DataFrame(
-                out, columns=[id_col, "frame_idx", "bytes", "w", "h"]
+                out, columns=[id_col, "frame_idx", "bytes", "fmt", "w", "h"]
             )
 
     return df.select(id_col, bytes_col, "fmt").mapInPandas(
-        run, schema=f"{id_col} long, frame_idx int, bytes binary, w int, h int"
+        run,
+        schema=f"{id_col} long, frame_idx int, bytes binary, fmt string, w int, h int",
     )
 
 
@@ -160,22 +175,28 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio feature extraction: duration, RMS, peak, zero-crossing rate.
 
-    REAL for fmt='rawa' (raw int16 PCM container, datagen/rawmedia.py) —
-    the feature math is plain numpy over the decoded samples; compressed
-    codecs raise a declared NotImplementedError per row."""
+    REAL for fmt='rawa' (raw int16 PCM container, datagen/rawmedia.py)
+    and fmt='wav' (RIFF/WAVE, 16-bit PCM or IMA ADPCM compressed —
+    datagen/wav_adpcm.py) — the feature math is plain numpy over the
+    decoded samples; transform codecs (mp3-class) raise a declared
+    NotImplementedError per row."""
     from osmalyzer_spark.datagen.rawmedia import unpack_rawa
+    from osmalyzer_spark.datagen.wav_adpcm import wav_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for aid, blob, fmt in zip(pdf[id_col], pdf[bytes_col], pdf["fmt"]):
-                if fmt != "rawa":
+                if fmt == "rawa":
+                    pcm, rate = unpack_rawa(bytes(blob))
+                elif fmt == "wav":
+                    pcm, rate = wav_decode(bytes(blob))
+                else:
                     raise NotImplementedError(
                         f"no decoder for audio format {fmt!r} in this "
-                        "environment (only the rawa container); see "
+                        "environment (rawa and wav containers only); see "
                         "multimodal.py docstring"
                     )
-                pcm, rate = unpack_rawa(bytes(blob))
                 x = pcm.astype(np.float64) / 32768.0
                 zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
                 out.append(
