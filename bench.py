@@ -66,6 +66,9 @@ def main() -> None:
         "q31_opening_hours": dq.q31_opening_hours,
         "q32_ivf_ann": dq.q32_ivf_ann,
         "q33_pt_pipeline": dq.q33_pt_pipeline,
+        "q34_improper_translation": dq.q34_improper_translation,
+        "q35_trolleybus_wires": dq.q35_trolleybus_wires,
+        "q36_ivf_kmeans": dq.q36_ivf_kmeans,
         "flagship_correlator": flagship_correlator,
     }
 

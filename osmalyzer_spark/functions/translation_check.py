@@ -200,14 +200,17 @@ def check_translations(
     # fuzzy distance (the UDF) only where the native exact test failed and
     # the row is actually checked; 'lv' and 'en' are exact-only matchers
     # in the reference (MatchBetweenExact), so skip the fuzzy pass there.
+    # Spark extracts Python UDFs into an unconditional ArrowEvalPython
+    # stage (a when() around the RESULT doesn't gate evaluation), so the
+    # gating is applied to the INPUTS: exact/ignored rows ship nulls
+    # through Arrow and take the UDF's O(1) null path — both transfer
+    # volume and DP work scale with the mismatch count, not the table.
     if lang == "ru":
-        fuzzy = _fuzzy_classify(F.col("actual"), F.col("expected"))
-        df = df.withColumn(
-            "fuzzy",
-            F.when(
-                F.col("exact_hit").isNull() & ~ignored, fuzzy
-            ),
+        gate = F.col("exact_hit").isNull() & ~ignored
+        fuzzy = _fuzzy_classify(
+            F.when(gate, F.col("actual")), F.when(gate, F.col("expected"))
         )
+        df = df.withColumn("fuzzy", F.when(gate, fuzzy))
         fuzzy_best = F.col("fuzzy.best")
         fuzzy_verdict = F.col("fuzzy.verdict")
     else:
