@@ -39,6 +39,7 @@ image `bytes` — are rejected at the door; re-join them by id afterwards.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -690,6 +691,7 @@ def checkpointed_correlate(
     input_snapshot: str = "",
     fail_after_batches: int | None = None,  # crash-simulation test hook (big phase)
     fail_small_before_progress: bool = False,  # crash-simulation hook (small phase)
+    phase_times: dict | None = None,  # filled with per-phase wall seconds
 ) -> DataFrame:
     """Resumable correlate with EXACT global semantics.
 
@@ -736,8 +738,12 @@ def checkpointed_correlate(
     if p.lone_upgrade_radius_m is not None and p.lone_upgrade_radius_m > p.seek_distance:
         raise ValueError("lone_upgrade_radius_m beyond seek_distance crosses components")
 
+    pt = phase_times if phase_times is not None else {}
+    t0 = time.time()
     elems_slim, items_slim, pairs_all = _slim_inputs(spark, elements, items, p)
     pairs_all = pairs_all.localCheckpoint(eager=True)  # reused 3x below
+    pt["slim_pairs_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
 
     edges = pairs_all.select(
         F.concat(F.lit("i:"), F.col("item_id").cast("string")).alias("id_a"),
@@ -767,6 +773,7 @@ def checkpointed_correlate(
         for r in sizes.filter(F.col("n_pairs") > small_component_max_pairs).collect()
     )
     big_bucket = {c: ck.n_buckets + rank for rank, c in enumerate(big)}
+    pt["connected_components_s"] = round(time.time() - t0, 2)
 
     def bucket_of(selfkey: Column) -> Column:
         small = F.pmod(
@@ -827,12 +834,14 @@ def checkpointed_correlate(
     )
     # ONE staged slim table, partitioned by bucket: every per-bucket read
     # below is partition-pruned (plan-asserted in tests)
+    t0 = time.time()
     staged = ck.stage_bucketed(
         spark,
         e_rows.unionByName(i_rows).unionByName(p_rows),
         "corr_input",
         fingerprint=input_snapshot,
     )
+    pt["staging_s"] = round(time.time() - t0, 2)
 
     solver = _make_component_solver(p)
     drop_outside = p.polygon is None or not p.report_outside_polygon
@@ -875,6 +884,7 @@ def checkpointed_correlate(
 
     # phase A: ALL small buckets in one job (the grouped map solves each
     # component inside one Arrow task; tiny components cost no driver round)
+    t0 = time.time()
     result = ck.run_single_pass(
         spark,
         staged,
@@ -884,9 +894,11 @@ def checkpointed_correlate(
         buckets=list(range(ck.n_buckets)),
         fail_before_progress=fail_small_before_progress,
     )
+    pt["small_pass_s"] = round(time.time() - t0, 2)
 
     # phase B: each giant component = one dedicated bucket through the
     # distributed DA loop (few of these by construction)
+    t0 = time.time()
     if big_bucket:
 
         def process_big(df: DataFrame, bucket: int) -> DataFrame:
@@ -908,6 +920,8 @@ def checkpointed_correlate(
         )
     elif fail_after_batches is not None and fail_after_batches <= 0:
         raise RuntimeError("simulated crash before batch 0")
+    pt["big_da_s"] = round(time.time() - t0, 2)
+    pt["n_big_components"] = len(big_bucket)
     return result
 
 

@@ -51,6 +51,7 @@ def child(cpus: int, n: int, radius: float) -> None:
     out_dir = tempfile.mkdtemp(prefix=f"ckbench_{cpus}_")
     shutil.rmtree(out_dir, ignore_errors=True)
     ck = CheckpointedRun(out_dir, run_id="bench", n_buckets=64)
+    phases: dict = {}
     t0 = time.time()
     corr = checkpointed_correlate(
         spark,
@@ -60,6 +61,7 @@ def child(cpus: int, n: int, radius: float) -> None:
             match_distance=15, unmatch_distance=75, strong_extra_distance=700
         ),
         ck,
+        phase_times=phases,
     )
     by_kind = {
         r["kind"]: r["n"]
@@ -68,13 +70,16 @@ def child(cpus: int, n: int, radius: float) -> None:
     wall = time.time() - t0
     n_big = len(ck.done_buckets(spark)) - ck.n_buckets
     shutil.rmtree(out_dir, ignore_errors=True)
+    calib_after = calibrate(cpus)
     print(
         "CHILD_RESULT "
         + json.dumps(
             {
                 "cpus": cpus,
                 "calib_chunks_per_core_s": calib,
+                "calib_after_chunks_per_core_s": calib_after,
                 "wall_s": round(wall, 3),
+                "phases": phases,
                 "by_kind": by_kind,
                 "n_big_components": n_big,
                 "rows_per_s": round(sum(by_kind.values()) / wall, 1),
@@ -111,6 +116,11 @@ def main() -> None:
     clock_ratio = (
         r_lo["calib_chunks_per_core_s"] / r_hi["calib_chunks_per_core_s"]
     )
+    phase_eff = {
+        k: round((r_lo["phases"][k] / r_hi["phases"][k]) / (hi / lo), 3)
+        for k in r_lo.get("phases", {})
+        if k.endswith("_s") and r_hi["phases"].get(k)
+    }
     print(
         json.dumps(
             {
@@ -119,6 +129,7 @@ def main() -> None:
                 "high": r_hi,
                 "scaling_efficiency_raw": round(eff, 3),
                 "scaling_efficiency_clock_normalized": round(eff / clock_ratio, 3),
+                "phase_efficiency_raw": phase_eff,
             }
         )
     )
