@@ -329,10 +329,20 @@ def _slim_inputs(
 
       elems_slim(elem_id, elem_lat, elem_lon, __lone)
       items_slim(item_id, item_lat, item_lon, __outside)
-      pairs_all (item_id, elem_id, strength, dist_m) — ALL in-seek pairs
-                with callback strength > UNMATCHED, BEFORE the per-strength
-                allowed-distance filter (the lone-upgrade pass needs pairs
-                the forward pass discards).
+      pairs_all (item_id, elem_id, strength, dist_m) — every pair that can
+                INFLUENCE the result: within the per-strength allowed
+                distance (forward pass) OR eligible for the bounded
+                lone-upgrade pass (strength >= lone minimum within its
+                radius). Dead pairs — beyond allowed for their evaluated
+                strength and unusable by any upgrade — are pruned at
+                generation, exactly as the reference's scan loop skips
+                them (Correlator.cs:151-163): at a 1M-row benchmark
+                config with strong_extra=700 but no strength callback,
+                this is a 119M -> ~1M pair reduction that everything
+                downstream (CC, staging, DA) inherits. When no strength
+                callback exists at all, every pair is Regular, so the
+                candidate join itself runs at the EFFECTIVE seek radius
+                (unmatch_distance) instead of the declared maximum.
 
     Everything downstream (distributed DA, the checkpointed component
     decomposition, the sequential small-component solver) consumes only
@@ -350,13 +360,18 @@ def _slim_inputs(
         items = items.withColumn("__outside", F.lit(False))
     inside = items.filter(~F.col("__outside"))
 
+    # without a strength callback every pair is Regular, so pairs beyond
+    # unmatch_distance can never match or upgrade — don't generate them
+    effective_seek = (
+        p.seek_distance if p.strength_expr is not None else p.unmatch_distance
+    )
     if p.match_anywhere:
         pairs = inside.crossJoin(elements).withColumn("dist_m", F.lit(0.0))
     else:
         pairs = radius_join(
             inside,
             elements,
-            p.seek_distance,
+            effective_seek,
             probe_coords=("item_lat", "item_lon"),
             build_coords=("elem_lat", "elem_lon"),
             dist_col="dist_m",
@@ -371,6 +386,28 @@ def _slim_inputs(
         .filter(F.col("strength") > UNMATCHED)
         .select("item_id", "elem_id", "strength", "dist_m")
     )
+    if not p.match_anywhere:
+        # prune DEAD pairs: farther than their strength allows AND not
+        # reachable by the bounded lone-upgrade pass. _assign/_solver
+        # re-apply the same conditions, so dropping these rows here
+        # changes no output — only the volume CC/staging/DA carry.
+        live = F.col("dist_m") <= _allowed_expr(p)
+        up_radius = (
+            p.lone_upgrade_radius_m
+            if p.lone_upgrade_radius_m is not None
+            else p.seek_distance
+        )
+        if (
+            p.lone_strong_match_strength is not None
+            and p.strength_expr is not None
+            and not p.lone_upgrade_unbounded
+            and up_radius <= p.seek_distance
+        ):
+            live = live | (
+                (F.col("strength") >= F.lit(p.lone_strong_match_strength))
+                & (F.col("dist_m") <= F.lit(up_radius))
+            )
+        pairs_all = pairs_all.filter(live)
     lone = (
         p.lone_allowance_expr(elements)
         if p.lone_allowance_expr is not None
@@ -745,9 +782,25 @@ def checkpointed_correlate(
     pt["slim_pairs_s"] = round(time.time() - t0, 2)
     t0 = time.time()
 
+    # CC node ids are LONGS, not tagged strings: each side maps to an
+    # xxhash64 code whose low bit encodes the side (elements even, items
+    # odd — pure bitwise, no overflow on full-range ids). 8 star rounds
+    # shuffle the edge set ~6 times each — fixed 8-byte keys beat variable
+    # strings in every one of those exchanges (measured: the CC phase was
+    # 66% of checkpointed-correlate wall at 1M rows before this change).
+    # A hash collision (either side) is HARMLESS: it can only merge two
+    # components into one work unit, and a union of disconnected
+    # components is still an exact decomposition of the matching (solved
+    # together => identical per-pair results); it is also deterministic
+    # across crash/resume, which the bucket layout requires.
+    def elem_code(col: str) -> Column:
+        return F.xxhash64(F.col(col).cast("long")).bitwiseAND(F.lit(-2))
+
+    def item_code(col: str) -> Column:
+        return F.xxhash64(F.col(col).cast("string")).bitwiseOR(F.lit(1))
+
     edges = pairs_all.select(
-        F.concat(F.lit("i:"), F.col("item_id").cast("string")).alias("id_a"),
-        F.concat(F.lit("e:"), F.col("elem_id").cast("string")).alias("id_b"),
+        item_code("item_id").alias("id_a"), elem_code("elem_id").alias("id_b")
     )
     # two-phase star CC: O(log n) rounds regardless of component diameter
     # (min-label propagation is O(diameter) — a dense hotspot component's
@@ -760,10 +813,10 @@ def checkpointed_correlate(
     # split components by WORK size (candidate-pair count, the matching
     # cost driver); the big list is tiny and deterministic, so bucket ids
     # n_buckets+rank are stable across crash/resume recomputation
-    ekey = F.concat(F.lit("e:"), F.col("elem_id").cast("string"))
     sizes = (
         pairs_all.join(
-            comps.select(F.col("id").alias("__k"), "component"), ekey == F.col("__k")
+            comps.select(F.col("id").alias("__k"), "component"),
+            elem_code("elem_id") == F.col("__k"),
         )
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -786,8 +839,8 @@ def checkpointed_correlate(
         )
         return F.coalesce(mapping[F.col("component")].cast("int"), small)
 
-    def tag(df: DataFrame, prefix: str, id_col: str) -> DataFrame:
-        key = F.concat(F.lit(prefix), F.col(id_col).cast("string"))
+    def tag(df: DataFrame, code_fn, id_col: str) -> DataFrame:
+        key = code_fn(id_col)
         return (
             df.join(
                 comps.select(F.col("id").alias("__k"), "component"),
@@ -802,7 +855,7 @@ def checkpointed_correlate(
         )
 
     null = F.lit(None)
-    e_rows = tag(elems_slim, "e:", "elem_id").select(
+    e_rows = tag(elems_slim, elem_code, "elem_id").select(
         F.lit("e").alias("__side"),
         F.col("elem_id").cast("long").alias("elem_id"),
         null.cast("string").alias("item_id"),
@@ -812,7 +865,7 @@ def checkpointed_correlate(
         F.lit(False).alias("__outside"),
         "__single", "__comp", "__cbucket",
     )
-    i_rows = tag(items_slim, "i:", "item_id").select(
+    i_rows = tag(items_slim, item_code, "item_id").select(
         F.lit("i").alias("__side"),
         null.cast("long").alias("elem_id"),
         F.col("item_id").cast("string").alias("item_id"),
@@ -822,7 +875,7 @@ def checkpointed_correlate(
         F.col("__outside"),
         "__single", "__comp", "__cbucket",
     )
-    p_rows = tag(pairs_all, "e:", "elem_id").select(
+    p_rows = tag(pairs_all, elem_code, "elem_id").select(
         F.lit("p").alias("__side"),
         F.col("elem_id").cast("long").alias("elem_id"),
         F.col("item_id").cast("string").alias("item_id"),

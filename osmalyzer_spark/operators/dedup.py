@@ -420,11 +420,17 @@ def connected_components_star(
         )
         mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
         m = F.least("u", "mv")
+        # NOT materialized: the small-star step below consumes this twice,
+        # but both consumers contain the identical distinct-exchange
+        # subplan, which Spark's ReuseExchange computes once within the
+        # round's single job — a localCheckpoint here would pay an extra
+        # full write+read of the edge set every round (measured: CC was
+        # the dominant phase of checkpointed-correlate wall at 1M rows)
         e = canonical(
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("x"), m.alias("y"))
-        ).localCheckpoint(eager=True)
+        )
         # small-star: orient every edge to its larger endpoint
         big = e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         mins2 = big.groupBy("u").agg(F.min("v").alias("mv"))
