@@ -85,7 +85,9 @@ def test_spark_submit_correlate_plain_and_checkpointed(spark, tmp_path):
     assert "checkpointed correlation rows:" in stdout
     # checkpointed run leaves progress lineage + staged bucket layout
     assert os.path.exists(os.path.join(out_ck, "_progress"))
-    assert os.path.exists(os.path.join(out_ck, "staged", "run1", "elements", "_STAGED"))
+    assert os.path.exists(
+        os.path.join(out_ck, "staged", "run1", "corr_input", "_STAGED")
+    )
     # the checkpointed result equals the plain correlate on the same input
     ck_rows = spark.read.parquet(os.path.join(out_ck, "data"))
     matched_plain = plain.filter("kind like 'matched%'").count()
