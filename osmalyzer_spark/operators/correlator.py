@@ -725,6 +725,7 @@ def checkpointed_correlate(
     ck,
     cc_max_iter: int = 64,
     small_component_max_pairs: int = 200_000,
+    solver_groups: int | None = None,
     input_snapshot: str = "",
     fail_after_batches: int | None = None,  # crash-simulation test hook (big phase)
     fail_small_before_progress: bool = False,  # crash-simulation hook (small phase)
@@ -928,10 +929,30 @@ def checkpointed_correlate(
             nul.cast("boolean").alias("far"),
             F.col("__bucket"),
         )
+        # MANY components per Arrow task: grouping by __comp directly costs
+        # one JVM->Arrow->Python round-trip per component (tens of
+        # thousands of ~20-node components, measured p50=20 in BENCH.md),
+        # so group by a hash of the component id instead and loop the
+        # sequential solver over components inside the task. Components
+        # never split across groups (hash of the whole id), so outputs are
+        # identical; per-task memory is O(small rows / groups), uniform by
+        # hash, and the group count scales with cluster parallelism.
+        n_groups = (
+            solver_groups
+            if solver_groups is not None
+            else max(1024, spark.sparkContext.defaultParallelism * 8)
+        )
+
+        def batch_solve(pdf):
+            import pandas as _pd
+
+            outs = [solver(g) for _, g in pdf.groupby("__comp", sort=False)]
+            return _pd.concat(outs, ignore_index=True)
+
         grouped = (
             sl.filter(~F.col("__single"))
-            .groupBy("__comp")
-            .applyInPandas(solver, _CORR_OUT_SCHEMA)
+            .groupBy(F.pmod(F.xxhash64("__comp"), F.lit(n_groups)).alias("__sg"))
+            .applyInPandas(batch_solve, _CORR_OUT_SCHEMA)
         )
         return se.unionByName(si).unionByName(grouped)
 
