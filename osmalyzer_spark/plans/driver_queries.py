@@ -2091,6 +2091,63 @@ _ORACLES["q36_ivf_kmeans"] = _ivf_kmeans_oracle_sql(
 )
 
 
+# --------------------------------------------------------------------------
+# q37 — checkpointed/resumable correlate, gated end-to-end (VERDICT r4
+# item 2). Same inputs/params/oracle as q27: candidate-graph components
+# are an exact decomposition of the DA fixed point, so the
+# component-bucketed resumable path (staging + star CC + Arrow-batched
+# small-component solver + distributed giant-component DA) must reproduce
+# the global matching row-for-row. Checkpoint state goes to a fresh temp
+# dir per invocation — the query gates the full staging/CC/solver/merge
+# sandwich, not resume (pytest covers crash/resume separately).
+# --------------------------------------------------------------------------
+
+
+def q37_checkpointed_correlator(spark, sf_dir):
+    """J4 resumable variant: checkpointed_correlate (correlator.py) over
+    the exact q27 inputs; verified against the same recursive-CTE
+    Gale-Shapley oracle."""
+    import tempfile
+
+    from osmalyzer_spark.checkpoint import CheckpointedRun
+    from osmalyzer_spark.operators.correlator import (
+        CorrelatorParams,
+        checkpointed_correlate,
+    )
+
+    elements = _geo_customers(spark, sf_dir).withColumn(
+        "elem_tag", (F.col("elem_id") % 7).cast("string")
+    )
+    items = _geo_suppliers(spark, sf_dir).withColumn(
+        "item_tag", (F.col("item_id") % 7).cast("string")
+    )
+    params = CorrelatorParams(
+        match_distance=150.0,
+        unmatch_distance=1500.0,
+        strong_extra_distance=3000.0,
+        strength_expr=lambda df: F.when(
+            F.col("item_tag") == F.col("elem_tag"), F.lit(3)
+        ).otherwise(F.lit(1)),
+        lone_allowance_expr=lambda df: F.col("elem_id") % 11 == 0,
+    )
+    ck = CheckpointedRun(
+        tempfile.mkdtemp(prefix="q37_ck_"), run_id="q37", n_buckets=8,
+        buckets_per_batch=8,
+    )
+    corr = checkpointed_correlate(spark, elements, items, params, ck)
+    return corr.select(
+        "kind",
+        F.coalesce("osm_id", F.lit(-1)).alias("osm_id"),
+        F.coalesce(F.col("item_id").cast("long"), F.lit(-1)).alias("item_id"),
+        F.round(F.coalesce("distance", F.lit(-1.0)), 3).alias("distance"),
+        F.coalesce("strength", F.lit(0)).alias("strength"),
+        F.coalesce("far", F.lit(False)).alias("far"),
+    )
+
+
+_ORACLES["q37_checkpointed_correlator"] = _ORACLES["q27_correlator"]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2129,6 +2186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_improper_translation": q34_improper_translation,
         "q35_trolleybus_wires": q35_trolleybus_wires,
         "q36_ivf_kmeans": q36_ivf_kmeans,
+        "q37_checkpointed_correlator": q37_checkpointed_correlator,
     }
 
 
