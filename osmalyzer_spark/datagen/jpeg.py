@@ -17,9 +17,19 @@ Decoder: baseline sequential only (SOF0/SOF1); progressive (SOF2),
 arithmetic coding, and 16-bit quant tables raise a declared
 NotImplementedError. Generic sampling factors (4:4:4, 4:2:0, ...) via
 interleaved MCU decode + nearest upsampling; restart markers honored;
-grayscale replicated to RGB. The per-symbol Huffman walk is sequential
-Python (it is inherently serial within a scan), but dequantization and
-the IDCT run as batched numpy over all blocks at once.
+grayscale replicated to RGB. Dequantization and the IDCT run as batched
+numpy over all blocks at once.
+
+Entropy decoding is TABLE-DRIVEN (VERDICT r4 item 1): a 16-bit
+max-code-length lookahead LUT (one list index resolves symbol + code
+length — 16 is T.81's hard cap, so every code hits) over precomputed
+24-bit byte windows of the unstuffed scan (one list index + shift yields
+any <=16-bit field at any bit offset; restart segments are independent
+units and are decoded as such). Decoded (position, value) pairs are
+scattered into the coefficient planes with one numpy assignment per
+component. The original bit-at-a-time walk is kept as
+``_engine='walk'`` purely as a differential oracle for tests and the
+microbenchmark (tools/bench_jpeg.py).
 
 Public-spec provenance: marker structure and entropy coding per ITU-T
 T.81 (Annex B/C/F); quantization tables per Annex K.1; JFIF YCbCr per
@@ -204,20 +214,33 @@ def _mag(v: int) -> tuple[int, int]:
     return s, (v if v > 0 else v + (1 << s) - 1)
 
 
+_RGB2YCC = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.168735892, -0.331264108, 0.5],
+        [0.5, -0.418687589, -0.081312411],
+    ]
+).T
+_YCC2RGB = np.array(
+    [
+        [1.0, 0.0, 1.402],
+        [1.0, -0.344136286, -0.714136286],
+        [1.0, 1.772, 0.0],
+    ]
+).T
+
+
 def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
-    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
-    y = 0.299 * r + 0.587 * g + 0.114 * b
-    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
-    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
-    return np.stack([y, cb, cr], axis=-1)
+    # one BLAS matmul over all pixels instead of 9 full-image temporaries
+    return rgb.astype(np.float64) @ _RGB2YCC + np.array([0.0, 128.0, 128.0])
 
 
 def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
-    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136286 * cb - 0.714136286 * cr
-    b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    f = ycc.dtype if ycc.dtype in (np.float32, np.float64) else np.float64
+    rgb = (ycc - np.array([0.0, 128.0, 128.0], dtype=f)) @ _YCC2RGB.astype(f)
+    np.round(rgb, out=rgb)
+    np.clip(rgb, 0, 255, out=rgb)
+    return rgb.astype(np.uint8)
 
 
 def _to_blocks(plane: np.ndarray) -> np.ndarray:
@@ -300,7 +323,7 @@ def jpeg_encode(
             mode="edge",
         )
         blocks = _to_blocks(plane) - 128.0
-        coef = np.einsum("ij,njk,lk->nil", DCT, blocks, DCT)
+        coef = (DCT @ blocks) @ DCT.T
         q = qy if ci == 0 else qc
         zz = np.round(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
         comp_zz.append(zz.reshape(mcus_y * vs, mcus_x * hs, 64))
@@ -425,13 +448,411 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
+# --- table-driven fast entropy decode -------------------------------------
+# T.81 caps Huffman codes at 16 bits, so a 65536-entry lookahead table
+# indexed by the next 16 bits resolves ANY symbol in one lookup:
+# entry = (symbol << 5) | code_length, -1 for bit patterns that are no
+# code's prefix. Tables recur across images (Annex K shapes, MJPEG
+# streams), so built LUTs are memoized on the raw (bits, vals) payload.
+
+_LUT_CACHE: dict[bytes, list[int]] = {}
+
+_MAG_MASK = [(1 << s) - 1 for s in range(17)]
+_MAG_HALF = [0] + [1 << (s - 1) for s in range(1, 17)]
+_MAG_EXT = [0] + [1 - (1 << s) for s in range(1, 17)]
+
+
+def _fast_lut_arr(bits: list[int], vals: list[int], mode: str = "raw") -> np.ndarray:
+    """16-bit lookahead LUT. Entry layouts by mode:
+
+    - 'raw'   (scalar chase): (sym << 5) | code_length
+    - 'dc'    (batched DC):   (size << 5) | code_length, size > 16
+               (beyond T.81's cap — corrupt table) marked invalid at
+               build, folding that runtime check away
+    - 'split' (batched AC):   (run << 10) | (size << 5) | code_length —
+               run/size pre-split so the hot loop does no bit surgery
+    """
+    key = bytes(bits) + mode.encode() + bytes(vals)
+    arr = _LUT_CACHE.get(key)
+    if arr is not None:
+        return arr
+    arr = np.full(1 << 16, -1, dtype=np.int64)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        span = 1 << (16 - ln)
+        for _ in range(bits[ln - 1]):
+            sym = vals[k]
+            if mode == "split":
+                entry = ((sym >> 4) << 10) | ((sym & 15) << 5) | ln
+            elif mode == "dc" and sym > 16:
+                entry = -1
+            else:
+                entry = (sym << 5) | ln
+            start = code << (16 - ln)
+            arr[start : start + span] = entry
+            code += 1
+            k += 1
+        code <<= 1
+    if len(_LUT_CACHE) >= 64:
+        _LUT_CACHE.clear()
+    _LUT_CACHE[key] = arr
+    return arr
+
+
+_LUT_LIST_CACHE: dict[bytes, list[int]] = {}
+
+
+def _fast_lut(bits: list[int], vals: list[int]) -> list[int]:
+    key = bytes(bits) + b"\xff" + bytes(vals)
+    lut = _LUT_LIST_CACHE.get(key)
+    if lut is None:
+        lut = _fast_lut_arr(bits, vals).tolist()
+        if len(_LUT_LIST_CACHE) >= 64:
+            _LUT_LIST_CACHE.clear()
+        _LUT_LIST_CACHE[key] = lut
+    return lut
+
+
+def _collect_scan_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split entropy-coded scan data into unstuffed restart segments.
+
+    All 0xFF positions are classified in one vectorized pass: 0xFF00 is
+    byte stuffing (drop the 0x00), 0xFFD0-D7 are restart boundaries
+    (segment split), anything else ends the scan. Returns (segments,
+    position of the terminating marker's 0xFF).
+    """
+    arr = np.frombuffer(data, dtype=np.uint8)[pos:]
+    ff = np.flatnonzero(arr == 0xFF)
+    nxt = np.full(ff.shape, 0xD9, dtype=np.uint8)  # virtual EOI at EOF
+    in_range = ff + 1 < arr.shape[0]
+    nxt[in_range] = arr[ff[in_range] + 1]
+    stuffing = nxt == 0x00
+    rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    real = np.flatnonzero(~stuffing & ~rst)
+    end = int(ff[real[0]]) if real.size else arr.shape[0]
+    keep = ff < end
+    stuff_pos = ff[stuffing & keep]
+    rst_pos = ff[rst & keep]
+
+    # drop stuffed zeros and both marker bytes in ONE mask pass, then cut
+    # at the restart boundaries (positions remapped by kept-byte counts)
+    mask = np.ones(end, dtype=bool)
+    mask[stuff_pos + 1] = False
+    mask[rst_pos] = False
+    mask[np.minimum(rst_pos + 1, end - 1)] = False
+    unst = arr[:end][mask]
+    kept_before = np.cumsum(mask)
+    cuts = kept_before[rst_pos] if rst_pos.size else np.empty(0, np.int64)
+    segs = [c.tobytes() for c in np.split(unst, cuts)]
+    return segs, pos + end
+
+
+def _seg_windows(seg: bytes) -> list[int]:
+    """24-bit sliding byte windows: win[i] = seg[i]<<16|seg[i+1]<<8|seg[i+2].
+
+    Any field of <=16 bits starting at bit position p is then
+    (win[p >> 3] >> (24 - width - (p & 7))) & mask — one list index plus
+    integer math, no per-bit loop. Padded with 0xFF so past-the-end bits
+    read as 1s (T.81 F.2.2.5 padding), matching the walk decoder.
+    """
+    b = np.frombuffer(seg + b"\xff" * 8, dtype=np.uint8).astype(np.int64)
+    return ((b[:-2] << 16) | (b[1:-1] << 8) | b[2:]).tolist()
+
+
+def _decode_scan_walk(segs, order, comps, mcus_x, mcus_y, restart_interval, coef):
+    """Reference bit-at-a-time scan decode (differential oracle only)."""
+    tbls = [(ci, _HuffTable(*dc_bv), _HuffTable(*ac_bv)) for ci, dc_bv, ac_bv in order]
+    seg_idx = 0
+    br = _BitReader(segs[seg_idx])
+    preds = [0] * len(comps)
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                seg_idx += 1  # RST boundary: new segment, reset predictors
+                br = _BitReader(segs[seg_idx])
+                preds = [0] * len(comps)
+            for ci, dct, act in tbls:
+                _, hs, vs, _ = comps[ci]
+                for v in range(vs):
+                    for hh in range(hs):
+                        s = _decode_sym(br, dct)
+                        diff = _extend(br.bits(s), s)
+                        preds[ci] += diff
+                        zz = coef[ci][my * vs + v, mx * hs + hh]
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _decode_sym(br, act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.bits(s), s)
+                            k += 1
+            mcu += 1
+
+
+def _decode_scan_batched(segs, order, comps, mcus_x, mcus_y, restart_interval, coef):
+    """Restart-interval–parallel entropy decode: every segment is an
+    independent bitstream with a fixed block schedule, so ALL segments
+    advance one Huffman symbol per iteration as numpy lanes — stacked
+    16-bit LUT gather, window gather for magnitude bits, fancy-index
+    scatter into one concatenated coefficient buffer. Per-symbol work is
+    ~25 vectorized element-ops instead of ~25 Python bytecodes, which is
+    where the >=10x over the walk decoder comes from. Chosen when the
+    stream carries enough short segments (DRI present); long-segment /
+    DRI-less streams use the scalar LUT chase below."""
+    nseg = len(segs)
+    n_mcus = mcus_x * mcus_y
+    ri = restart_interval
+    ncomp = len(comps)
+
+    # concatenated scan buffer (8 x 0xFF pad per segment: past-the-end
+    # bits read as 1s and never bleed into the next lane) + 24-bit windows
+    offs = np.empty(nseg, np.int64)
+    parts = []
+    o = 0
+    for i, sg in enumerate(segs):
+        offs[i] = o
+        parts.append(sg)
+        parts.append(b"\xff" * 8)
+        o += len(sg) + 8
+    b = np.frombuffer(b"".join(parts), dtype=np.uint8).astype(np.int64)
+    win = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]
+
+    # stacked LUTs: per scan component, dc/ac table index into lutflat
+    tbl_keys: list[tuple[bytes, bytes]] = []
+    tbl_arrs: list[np.ndarray] = []
+
+    def tbl_index(bv) -> int:
+        key = (bytes(bv[0]), bytes(bv[1]), bv[2])
+        if key in tbl_keys:
+            return tbl_keys.index(key)
+        tbl_keys.append(key)
+        tbl_arrs.append(_fast_lut_arr(*bv))
+        return len(tbl_keys) - 1
+
+    comp_dc = {}
+    comp_ac = {}
+    for ci, dc_bv, ac_bv in order:
+        comp_dc[ci] = tbl_index((*dc_bv, "dc"))
+        comp_ac[ci] = tbl_index((*ac_bv, "split"))
+    lutflat = np.concatenate(tbl_arrs)
+
+    # block schedule: one MCU = bpm blocks in scan order; a segment's slot
+    # j is block (j % bpm) of MCU (seg*ri + j//bpm). Per-slot component /
+    # table arrays are shared by all segments; per-lane bases are built
+    # column-by-column (max_slots is small: ri * bpm).
+    slotseq = []  # (ci, v, hh)
+    for ci, _, _ in order:
+        _, hs, vs, _ = comps[ci]
+        for v in range(vs):
+            for hh in range(hs):
+                slotseq.append((ci, v, hh))
+    bpm = len(slotseq)
+    max_slots = ri * bpm
+    comp_off = np.zeros(ncomp + 1, np.int64)
+    for ci in range(ncomp):
+        comp_off[ci + 1] = comp_off[ci] + coef[ci].size
+    slot_comp = np.array([ci for ci, _, _ in slotseq * ri] + [0], np.int64)
+    slot_dctab = np.array([comp_dc[ci] for ci, _, _ in slotseq * ri] + [0], np.int64)
+    slot_actab = np.array([comp_ac[ci] for ci, _, _ in slotseq * ri] + [0], np.int64)
+
+    seg_ids = np.arange(nseg, dtype=np.int64)
+    mcu_count = np.minimum(ri, n_mcus - seg_ids * ri)  # ragged last segment
+    nslots_l = mcu_count * bpm
+    slot_base = np.full((nseg, max_slots + 1), 0, np.int64)
+    for j in range(max_slots):
+        ci, v, hh = slotseq[j % bpm]
+        _, hs, vs, _ = comps[ci]
+        bx = mcus_x * hs
+        g = seg_ids * ri + j // bpm
+        gc = np.minimum(g, n_mcus - 1)  # clamp ragged tail (never visited)
+        my = gc // mcus_x
+        mx = gc % mcus_x
+        slot_base[:, j] = comp_off[ci] + (((my * vs + v) * bx + mx * hs + hh) << 6)
+    slot_base_flat = slot_base.reshape(-1)
+
+    coefflat = np.zeros(int(comp_off[-1]), np.int32)
+    preds_flat = np.zeros(ncomp * nseg, np.int64)
+
+    mask_a = np.array(_MAG_MASK, np.int64)
+
+    # live lane state
+    lane = seg_ids[nslots_l > 0]
+    pos = offs[lane] * 8
+    k = np.zeros(lane.shape, np.int64)
+    slot = np.zeros(lane.shape, np.int64)
+    base = slot_base_flat[lane * (max_slots + 1)]
+
+    # interleave ac/dc table ids so one gather picks the lane's table:
+    # tab_pair[slot*2 + (k==0)]
+    tab_pair = np.empty(2 * (max_slots + 1), np.int64)
+    tab_pair[0::2] = slot_actab
+    tab_pair[1::2] = slot_dctab
+
+    while lane.size:
+        dc = k == 0
+        tbl = tab_pair[(slot << 1) + dc]
+        peek = (win[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+        e = lutflat[(tbl << 16) + peek]
+        if (e < 0).any():
+            raise ValueError("invalid huffman code in scan data")
+        pos = pos + (e & 31)
+        s = (e >> 5) & 31  # size (DC entries carry r=0, so layouts unify)
+        r = e >> 10
+        mask = mask_a[s]
+        mv = (win[pos >> 3] >> (24 - s - (pos & 7))) & mask
+        val = mv - (mv <= (mask >> 1)) * mask  # T.81 EXTEND from mask alone
+        pos = pos + s
+        kw = k + r  # write position: k+run for AC, 0 for DC
+        acv = (s > 0) & ~dc
+        wi = np.flatnonzero(dc | acv)
+        if (kw[wi] > 63).any():
+            raise ValueError("AC run past block end")
+        di = np.flatnonzero(dc)
+        if di.size:
+            pidx = slot_comp[slot[di]] * nseg + lane[di]
+            newp = preds_flat[pidx] + val[di]
+            preds_flat[pidx] = newp
+            val[di] = newp  # DC writes store the running predictor
+        coefflat[base[wi] + kw[wi]] = val[wi]
+
+        # next coefficient index: DC -> 1; AC value -> kw+1; ZRL -> k+16;
+        # EOB (s==0, r!=15) -> 64 (block complete)
+        k = np.where(
+            dc, 1, np.where(s > 0, kw + 1, np.where(r == 15, k + 16, 64))
+        )
+        done_blk = k >= 64
+        if done_blk.any():
+            slot = slot + done_blk
+            k = np.where(done_blk, 0, k)
+            alive = slot < nslots_l[lane]
+            if not alive.all():
+                lane = lane[alive]
+                pos = pos[alive]
+                k = k[alive]
+                slot = slot[alive]
+                base = base[alive]
+                done_blk = done_blk[alive]
+            bi = np.flatnonzero(done_blk)
+            base[bi] = slot_base_flat[lane[bi] * (max_slots + 1) + slot[bi]]
+
+    for ci in range(ncomp):
+        coef[ci].reshape(-1)[:] = coefflat[comp_off[ci] : comp_off[ci + 1]]
+
+
+def _decode_scan_fast(segs, order, comps, mcus_x, mcus_y, restart_interval, coef):
+    """Table-driven scan decode: 16-bit lookahead LUT + 24-bit byte
+    windows; one numpy scatter per component at the end. Restart segments
+    are decoded as independent units (own window table, fresh
+    predictors). When the stream carries many short restart segments,
+    the lane-parallel batched decoder above takes over."""
+    n_mcus = mcus_x * mcus_y
+    if restart_interval and len(segs) >= 64:
+        return _decode_scan_batched(
+            segs, order, comps, mcus_x, mcus_y, restart_interval, coef
+        )
+    ri = restart_interval or n_mcus
+    # per scan component: (ci, dc LUT, ac LUT, hs, vs, blocks_per_row)
+    plan = [
+        (
+            ci,
+            _fast_lut(*dc_bv),
+            _fast_lut(*ac_bv),
+            comps[ci][1],
+            comps[ci][2],
+            mcus_x * comps[ci][1],
+        )
+        for ci, dc_bv, ac_bv in order
+    ]
+    idx_out: list[list[int]] = [[] for _ in comps]
+    val_out: list[list[int]] = [[] for _ in comps]
+    mask, half, ext = _MAG_MASK, _MAG_HALF, _MAG_EXT
+
+    for seg_i, mcu0 in enumerate(range(0, n_mcus, ri)):
+        win = _seg_windows(segs[seg_i])
+        bp = 0
+        preds = [0] * len(comps)
+        for mcu in range(mcu0, min(mcu0 + ri, n_mcus)):
+            my, mx = divmod(mcu, mcus_x)
+            for ci, dlut, alut, hs, vs, bx in plan:
+                idx = idx_out[ci]
+                val = val_out[ci]
+                pred = preds[ci]
+                for v in range(vs):
+                    row0 = (my * vs + v) * bx
+                    for hh in range(hs):
+                        base = (row0 + mx * hs + hh) << 6
+                        e = dlut[(win[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF]
+                        if e < 0:
+                            raise ValueError("invalid huffman code in scan data")
+                        bp += e & 31
+                        s = e >> 5
+                        if s:
+                            mv = (win[bp >> 3] >> (24 - s - (bp & 7))) & mask[s]
+                            bp += s
+                            if mv < half[s]:
+                                mv += ext[s]
+                            pred += mv
+                        idx.append(base)
+                        val.append(pred)
+                        k = 1
+                        while k < 64:
+                            e = alut[(win[bp >> 3] >> (8 - (bp & 7))) & 0xFFFF]
+                            if e < 0:
+                                raise ValueError("invalid huffman code in scan data")
+                            bp += e & 31
+                            rs = e >> 5
+                            s = rs & 15
+                            if s == 0:
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            mv = (win[bp >> 3] >> (24 - s - (bp & 7))) & mask[s]
+                            bp += s
+                            if mv < half[s]:
+                                mv += ext[s]
+                            idx.append(base + k)
+                            val.append(mv)
+                            k += 1
+                preds[ci] = pred
+
+    for ci in range(len(comps)):
+        if idx_out[ci]:
+            flat = coef[ci].reshape(-1)
+            flat[np.array(idx_out[ci], dtype=np.int64)] = np.array(
+                val_out[ci], dtype=np.int32
+            )
+
+
+def jpeg_decode(
+    data: bytes, _engine: str = "fast", _phases: dict | None = None
+) -> np.ndarray:
+    """Decode baseline JPEG bytes -> (h, w, 3) uint8 RGB.
+
+    _engine: 'fast' (default, table-driven lookahead) or 'walk' (the
+    original bit-at-a-time reference, kept as a differential oracle).
+    _phases: optional dict filled with per-stage wall seconds
+    ('entropy_s' = scan decode stage) for the microbenchmark."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
+    if _engine not in ("fast", "walk"):
+        raise ValueError("_engine must be 'fast' or 'walk'")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], _HuffTable] = {}
+    htables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
     frame = None  # (h, w, comps=[(cid, hs, vs, tq)])
     restart_interval = 0
     scan = None
@@ -467,7 +888,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 bits = list(body[bp + 1 : bp + 17])
                 n = sum(bits)
                 vals = list(body[bp + 17 : bp + 17 + n])
-                htables[(tc, th)] = _HuffTable(bits, vals)
+                htables[(tc, th)] = (bits, vals)
                 bp += 17 + n
         elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
             _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
@@ -485,26 +906,9 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             ns = body[0]
             scan_comps = [(body[1 + 2 * i], body[2 + 2 * i] >> 4, body[2 + 2 * i] & 15) for i in range(ns)]
-            # entropy-coded data: collect restart segments, unstuffed
-            segs: list[bytes] = []
-            cur = bytearray()
-            while pos < len(data):
-                b = data[pos]
-                if b == 0xFF:
-                    nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
-                    if nxt == 0x00:
-                        cur.append(0xFF)
-                        pos += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:  # RSTn
-                        segs.append(bytes(cur))
-                        cur = bytearray()
-                        pos += 2
-                        continue
-                    break  # next real marker (EOI etc.)
-                cur.append(b)
-                pos += 1
-            segs.append(bytes(cur))
+            # entropy-coded data: collect restart segments, unstuffed —
+            # vectorized over 0xFF positions instead of byte-at-a-time
+            segs, pos = _collect_scan_segments(data, pos)
             scan = (scan_comps, segs)
             break  # single-scan baseline: decode after marker loop
         # else: APPn/COM/unknown — skipped
@@ -519,7 +923,7 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     mcus_y = -(-h // (8 * vmax))
 
     by_id = {c[0]: c for c in comps}
-    order = []  # (comp_index, dc table, ac table) in scan order
+    order = []  # (comp_index, dc (bits, vals), ac (bits, vals)) in scan order
     for cid, td, ta in scan_comps:
         ci = comps.index(by_id[cid])
         order.append((ci, htables[(0, td)], htables[(1, ta)]))
@@ -529,62 +933,44 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         np.zeros((mcus_y * c[2], mcus_x * c[1], 64), dtype=np.int32) for c in comps
     ]
 
-    seg_idx = 0
-    br = _BitReader(segs[seg_idx])
-    preds = [0] * len(comps)
-    mcu = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                seg_idx += 1  # RST boundary: new segment, reset predictors
-                br = _BitReader(segs[seg_idx])
-                preds = [0] * len(comps)
-            for ci, dct, act in order:
-                _, hs, vs, _ = comps[ci]
-                for v in range(vs):
-                    for hh in range(hs):
-                        s = _decode_sym(br, dct)
-                        diff = _extend(br.bits(s), s)
-                        preds[ci] += diff
-                        zz = coef[ci][my * vs + v, mx * hs + hh]
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _decode_sym(br, act)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-            mcu += 1
+    decode_scan = _decode_scan_fast if _engine == "fast" else _decode_scan_walk
+    if _phases is None:
+        decode_scan(segs, order, comps, mcus_x, mcus_y, restart_interval, coef)
+    else:
+        import time as _time
 
-    # batched dequantize + IDCT per component (numpy, no per-block Python)
-    planes = []
+        t0 = _time.perf_counter()
+        decode_scan(segs, order, comps, mcus_x, mcus_y, restart_interval, coef)
+        _phases["entropy_s"] = _time.perf_counter() - t0
+
+    # batched dequantize + IDCT per component (numpy, no per-block Python;
+    # float32 throughout — both engines share this path, and the <=1e-3
+    # IDCT error is far inside the +-0.5 rounding granularity)
+    dct32 = DCT.astype(np.float32)
+    ycc = np.empty((h, w, max(3, len(comps))), dtype=np.float32)
     for ci, c in enumerate(comps):
         _, hs, vs, tq = c
         by, bx, _ = coef[ci].shape
-        nat = np.zeros((by * bx, 64), dtype=np.float64)
+        nat = np.zeros((by * bx, 64), dtype=np.float32)
         nat[:, ZIGZAG] = coef[ci].reshape(-1, 64)
-        blocks = (nat.reshape(-1, 8, 8)) * qtables[tq]
-        pix = np.einsum("ji,njk,kl->nil", DCT, blocks, DCT) + 128.0
+        blocks = (nat.reshape(-1, 8, 8)) * qtables[tq].astype(np.float32)
+        pix = (dct32.T @ blocks) @ dct32 + np.float32(128.0)
         plane = (
             pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
-        # nearest upsample to full resolution, then crop
-        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
-        planes.append(plane[:h, :w])
+        fy, fx = vmax // vs, hmax // hs
+        if fy > 1 or fx > 1:
+            # nearest upsample as one broadcast view + single copy
+            ph, pw = plane.shape
+            plane = np.broadcast_to(
+                plane[:, None, :, None], (ph, fy, pw, fx)
+            ).reshape(ph * fy, pw * fx)
+        ycc[..., ci] = plane[:h, :w]
 
-    if len(planes) == 1:
-        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if len(comps) == 1:
+        y = np.clip(np.round(ycc[..., 0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
-    ycc = np.stack(planes[:3], axis=-1)
-    return ycbcr_to_rgb(ycc)
+    return ycbcr_to_rgb(ycc[..., :3])
 
 
 # ---------------------------------------------------------------------------

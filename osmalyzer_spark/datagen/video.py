@@ -1,0 +1,270 @@
+"""From-scratch block-motion-compensated video codec (h264-class shape).
+
+Closes VERDICT r4 item 5: `multimodal.sample_video_frames` previously
+declared a NotImplementedError for inter-frame video; real corpora are
+overwhelmingly inter-frame coded, so the engine needs a representative
+codec whose Spark-side plumbing (schema, Arrow batching, frame
+sampling) it can exercise for real. Same from-first-principles
+discipline as datagen/jpeg.py — no codec libraries; entropy backend is
+stdlib zlib (DEFLATE), the same choice the engine's PNG codec makes.
+
+Structure mirrors the essential h264-class pipeline without claiming
+bitstream compatibility:
+
+- GOP structure: I-frames every `gop` frames (intra coded as baseline
+  JPEG via datagen/jpeg.py — an IDR analog), P-frames in between.
+- P-frames: 16x16 macroblock full-search motion estimation on luma
+  (vectorized: one SAD map per candidate offset over the whole frame),
+  motion-compensated prediction from the DECODED previous frame
+  (closed-loop, so decode never drifts from the encoder), 8x8 DCT of
+  the residual, flat quality-scaled quantization, and a byte-aligned
+  sparse coefficient layout (per-block nonzero counts + (pos, val)
+  arrays) that encodes AND decodes as pure numpy — no per-symbol
+  Python — before DEFLATE.
+
+Container ("OSV1"): magic, u16 w/h, u16 nframes, u8 quality; then per
+frame u8 type (0=I, 1=P) + u32 payload length + payload.
+
+Reference analog: the binary media containers Osmalyzer parses directly
+(Osmalyzer/Data/Misc Data Fetchers/CulturalMonumentsMapAnalysisData.cs:40-86).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from osmalyzer_spark.datagen.jpeg import (
+    DCT,
+    ZIGZAG,
+    _scaled_tables,
+    jpeg_decode,
+    jpeg_encode,
+    rgb_to_ycbcr,
+    ycbcr_to_rgb,
+)
+
+MAGIC = b"OSV1"
+MB = 16  # macroblock (motion) size; transform blocks are 8x8
+
+
+def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """Residual quantizers: the same quality-scaled Annex-K tables the
+    intra (JPEG) path uses. Matching the intra frequency weighting keeps
+    P-frame quality consistent with I-frames and keeps the coder from
+    spending bits on high-frequency sensor noise in the residual (a
+    flat fine quantizer did exactly that and made P-frames LARGER than
+    intra frames)."""
+    qy, qc = _scaled_tables(quality)
+    return qy, qc
+
+
+def _pad_hw(h: int, w: int) -> tuple[int, int]:
+    return -(-h // MB) * MB, -(-w // MB) * MB
+
+
+def _to_blocks8(plane: np.ndarray) -> np.ndarray:
+    hh, ww = plane.shape
+    return (
+        plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+
+
+def _from_blocks8(blocks: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    return (
+        blocks.reshape(hh // 8, ww // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(hh, ww)
+    )
+
+
+def _motion_search(cur_y: np.ndarray, prev_y: np.ndarray, search: int) -> np.ndarray:
+    """Full-search motion estimation on luma: (nmby, nmbx, 2) int offsets.
+
+    One vectorized SAD map per candidate offset — the per-offset work is
+    a whole-frame |diff| plus a blockwise sum, no per-macroblock Python.
+    """
+    hh, ww = cur_y.shape
+    nmby, nmbx = hh // MB, ww // MB
+    pad = np.pad(prev_y, search, mode="edge")
+    best_sad = np.full((nmby, nmbx), np.inf)
+    best_mv = np.zeros((nmby, nmbx, 2), np.int64)
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            cand = pad[search + dy : search + dy + hh, search + dx : search + dx + ww]
+            sad = (
+                np.abs(cur_y - cand)
+                .reshape(nmby, MB, nmbx, MB)
+                .sum(axis=(1, 3))
+            )
+            # strict < keeps the first (smallest |mv|-ish scan order) on ties
+            better = sad < best_sad
+            best_sad[better] = sad[better]
+            best_mv[better] = (dy, dx)
+    return best_mv
+
+
+def _compensate(prev: np.ndarray, mv: np.ndarray, search: int) -> np.ndarray:
+    """Motion-compensated prediction: gather each macroblock's shifted
+    16x16 patch from the padded reference with one fancy index per
+    channel — no per-block Python."""
+    hh, ww = prev.shape[:2]
+    nmby, nmbx = hh // MB, ww // MB
+    pad = np.pad(prev, ((search, search), (search, search), (0, 0)), mode="edge")
+    ys = np.arange(hh)
+    xs = np.arange(ww)
+    dy_pix = np.repeat(mv[:, :, 0], MB, axis=0)  # (hh, nmbx)
+    dy_pix = np.repeat(dy_pix, MB, axis=1)  # (hh, ww)
+    dx_pix = np.repeat(np.repeat(mv[:, :, 1], MB, axis=0), MB, axis=1)
+    iy = ys[:, None] + dy_pix + search
+    ix = xs[None, :] + dx_pix + search
+    return pad[iy, ix]
+
+
+def _encode_residual(res: np.ndarray, qt: tuple[np.ndarray, np.ndarray]) -> bytes:
+    """Residual (hh, ww, 3) float -> sparse quantized-DCT payload.
+
+    Layout (all little-endian, numpy-decodable without per-symbol work):
+    u32 total_nnz | u8 counts[nblocks*3] | u8 pos[total] | i16 val[total]
+    """
+    hh, ww = res.shape[:2]
+    qs = (qt[0], qt[1], qt[1])
+    counts = []
+    poss = []
+    vals = []
+    for ci in range(3):
+        blocks = _to_blocks8(res[..., ci])
+        coef = (DCT @ blocks) @ DCT.T
+        q = np.round(coef / qs[ci]).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+        q = np.clip(q, -32768, 32767)
+        nz_b, nz_k = np.nonzero(q)
+        counts.append(np.bincount(nz_b, minlength=q.shape[0]))
+        poss.append(nz_k)
+        vals.append(q[nz_b, nz_k])
+    counts_a = np.concatenate(counts)
+    if counts_a.max(initial=0) > 255:
+        raise ValueError("block nonzero count overflow")  # 64 max by design
+    pos_a = np.concatenate(poss).astype(np.uint8)
+    val_a = np.concatenate(vals).astype("<i2")
+    return (
+        struct.pack("<I", pos_a.size)
+        + counts_a.astype(np.uint8).tobytes()
+        + pos_a.tobytes()
+        + val_a.tobytes()
+    )
+
+
+def _decode_residual(
+    payload: bytes, hh: int, ww: int, qt: tuple[np.ndarray, np.ndarray]
+) -> np.ndarray:
+    """Sparse payload -> residual (hh, ww, 3) float32, all-numpy."""
+    nblocks = (hh // 8) * (ww // 8)
+    (total,) = struct.unpack_from("<I", payload, 0)
+    off = 4
+    counts = np.frombuffer(payload, np.uint8, nblocks * 3, off).astype(np.int64)
+    off += nblocks * 3
+    pos = np.frombuffer(payload, np.uint8, total, off).astype(np.int64)
+    off += total
+    val = np.frombuffer(payload, "<i2", total, off).astype(np.float32)
+    block_of = np.repeat(np.arange(nblocks * 3), counts)
+    zz = np.zeros((nblocks * 3, 64), np.float32)
+    zz[block_of, pos] = val
+    nat = np.zeros_like(zz)
+    nat[:, ZIGZAG] = zz
+    dct32 = DCT.astype(np.float32)
+    qs = (qt[0], qt[1], qt[1])
+    out = np.empty((hh, ww, 3), np.float32)
+    for ci in range(3):
+        blocks = nat[ci * nblocks : (ci + 1) * nblocks].reshape(-1, 8, 8) * qs[
+            ci
+        ].astype(np.float32)
+        pix = (dct32.T @ blocks) @ dct32
+        out[..., ci] = _from_blocks8(pix, hh, ww)
+    return out
+
+
+def video_encode(
+    frames: list[np.ndarray],
+    quality: int = 90,
+    gop: int = 8,
+    search: int = 4,
+) -> bytes:
+    """Encode a list of (h, w, 3) uint8 RGB frames -> OSV1 bytes."""
+    if not frames:
+        raise ValueError("empty frame list")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError("all frames must be identical-shape (h, w, 3) uint8")
+    if len(frames) > 0xFFFF:
+        raise ValueError("too many frames for u16 count")
+    hh, ww = _pad_hw(h, w)
+    qt = _quant_tables(quality)
+    if not 1 <= search <= 120:
+        raise ValueError("search radius must be in [1, 120]")
+    out = bytearray(MAGIC)
+    out += struct.pack(
+        "<HHHBBB", w, h, len(frames), max(1, min(255, gop)), quality, search
+    )
+    ref = None  # decoded previous frame, padded ycc float32
+    for i, frame in enumerate(frames):
+        if i % gop == 0 or ref is None:
+            payload = jpeg_encode(frame, quality=quality, subsampling="444")
+            out += struct.pack("<BI", 0, len(payload)) + payload
+            dec = jpeg_decode(payload)
+            ref = rgb_to_ycbcr(
+                np.pad(dec, ((0, hh - h), (0, ww - w), (0, 0)), mode="edge")
+            ).astype(np.float32)
+            continue
+        cur = rgb_to_ycbcr(
+            np.pad(frame, ((0, hh - h), (0, ww - w), (0, 0)), mode="edge")
+        ).astype(np.float32)
+        mv = _motion_search(cur[..., 0], ref[..., 0], search)
+        pred = _compensate(ref, mv, search)
+        body = (
+            np.clip(mv + search, 0, 2 * search).astype(np.uint8).tobytes()
+            + _encode_residual(cur - pred, qt)
+        )
+        payload = zlib.compress(body, 6)
+        out += struct.pack("<BI", 1, len(payload)) + payload
+        # closed loop: reconstruct exactly as the decoder will
+        resid = _decode_residual(body[mv.size :], hh, ww, qt)
+        ref = np.clip(pred + resid, 0.0, 255.0)
+    return bytes(out)
+
+
+def video_decode(data: bytes) -> list[np.ndarray]:
+    """Decode OSV1 bytes -> list of (h, w, 3) uint8 RGB frames."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an OSV1 stream")
+    w, h, n, _gop, quality, search = struct.unpack_from("<HHHBBB", data, 4)
+    hh, ww = _pad_hw(h, w)
+    qt = _quant_tables(quality)
+    nmb = (hh // MB) * (ww // MB)
+    pos = 13
+    frames: list[np.ndarray] = []
+    ref = None
+    for _ in range(n):
+        ftype, plen = struct.unpack_from("<BI", data, pos)
+        pos += 5
+        payload = data[pos : pos + plen]
+        pos += plen
+        if ftype == 0:
+            dec = jpeg_decode(payload)
+            frames.append(dec)
+            ref = rgb_to_ycbcr(
+                np.pad(dec, ((0, hh - h), (0, ww - w), (0, 0)), mode="edge")
+            ).astype(np.float32)
+            continue
+        if ref is None:
+            raise ValueError("P-frame before any I-frame")
+        body = zlib.decompress(payload)
+        mv_raw = np.frombuffer(body, np.uint8, nmb * 2).astype(np.int64)
+        mv = mv_raw.reshape(hh // MB, ww // MB, 2) - search
+        pred = _compensate(ref, mv, search)
+        resid = _decode_residual(body[nmb * 2 :], hh, ww, qt)
+        ref = np.clip(pred + resid, 0.0, 255.0)
+        frames.append(ycbcr_to_rgb(ref)[:h, :w])
+    return frames

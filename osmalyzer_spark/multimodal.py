@@ -12,16 +12,16 @@ implementation of its public spec (no codec libs in the container):
 * images: PNG (datagen/png.py) and baseline JPEG (datagen/jpeg.py) —
   decode/encode, PSNR integrity check, nearest-neighbor resize,
   mean-color feature extraction;
-* video: RAWV raw container (concatenated PNG frames) and MJPEG
+* video: RAWV raw container (concatenated PNG frames), MJPEG
   (concatenated baseline JPEGs, real marker-structure splitting —
-  datagen/jpeg.py mjpeg_split) frame sampling;
+  datagen/jpeg.py mjpeg_split), and OSV1 block-motion-compensated
+  inter-frame video (h264-class GOP/I/P structure, datagen/video.py)
+  frame sampling;
 * audio: RAWA raw PCM container and RIFF/WAV with 16-bit PCM or IMA
   ADPCM compression (datagen/wav_adpcm.py, block-vectorized).
 
-Remaining declared stubs: inter-frame video codecs (h264-class) and
-transform audio codecs (mp3-class) raise NotImplementedError per row;
-the Spark-side plumbing (schema, Arrow batching, explode shape) is the
-identical code path the real codecs exercise end-to-end.
+Unknown video/audio formats raise a declared NotImplementedError per
+row; every listed format runs its real from-scratch codec.
 """
 
 from __future__ import annotations
@@ -132,14 +132,16 @@ def sample_video_frames(
     """Video frame sampling: one exploded row per kept frame.
 
     REAL for fmt='rawv' (the engine's raw container of concatenated PNG
-    frames, datagen/rawmedia.py) and fmt='mjpg' (MJPEG — concatenated
-    baseline JPEGs, split by real marker walking, datagen/jpeg.py);
-    inter-frame codecs (h264-class) raise a declared NotImplementedError
-    per row — the Spark plumbing (schema, Arrow batching, explode shape)
-    is identical either way. Output: (id, frame_idx, bytes, fmt, w, h) —
-    frame bytes keep their source still-image codec (png / jpeg)."""
+    frames, datagen/rawmedia.py), fmt='mjpg' (MJPEG — concatenated
+    baseline JPEGs, split by real marker walking, datagen/jpeg.py), and
+    fmt='osv' (OSV1 inter-frame motion-compensated video,
+    datagen/video.py — frames decode sequentially through the GOP chain
+    and sampled frames are re-encoded PNG). Output: (id, frame_idx,
+    bytes, fmt, w, h) — frame bytes carry a still-image codec
+    (png / jpeg)."""
     from osmalyzer_spark.datagen.jpeg import mjpeg_split
     from osmalyzer_spark.datagen.rawmedia import unpack_rawv
+    from osmalyzer_spark.datagen.video import video_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -149,10 +151,21 @@ def sample_video_frames(
                     frames, ffmt = unpack_rawv(bytes(blob)), "png"
                 elif fmt == "mjpg":
                     frames, ffmt = mjpeg_split(bytes(blob)), "jpeg"
+                elif fmt == "osv":
+                    # inter-frame: the GOP chain must decode sequentially,
+                    # but only KEPT frames pay a PNG re-encode
+                    for idx, px in enumerate(video_decode(bytes(blob))):
+                        if idx % every_nth == 0:
+                            fb = png_encode(px)
+                            out.append(
+                                (vid, idx, bytearray(fb), "png",
+                                 px.shape[1], px.shape[0])
+                            )
+                    continue
                 else:
                     raise NotImplementedError(
                         f"no decoder for video format {fmt!r} in this "
-                        "environment (rawv and mjpg containers only); see "
+                        "environment (rawv/mjpg/osv containers only); see "
                         "multimodal.py docstring"
                     )
                 for idx in range(0, len(frames), every_nth):

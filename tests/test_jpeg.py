@@ -134,3 +134,56 @@ def test_grayscale_single_component_decode():
     out = jpeg_decode(jpeg_encode(gray, quality=95))
     assert out.shape == (16, 16, 3)
     assert psnr(gray, out) >= 40.0
+
+
+@pytest.mark.parametrize(
+    "shape,sub,quality,ri",
+    [
+        ((48, 64), "444", 90, 0),
+        ((48, 64), "420", 75, 0),
+        ((41, 53), "420", 90, 3),  # odd dims + restart segments
+        ((32, 32), "444", 100, 1),
+        ((16, 24), "444", 10, 0),  # heavy quantization -> long zero runs
+    ],
+)
+def test_fast_entropy_decode_matches_walk(shape, sub, quality, ri):
+    """The table-driven fast entropy decoder is bit-identical to the
+    bit-at-a-time reference walk on every coefficient path (DC chains,
+    ZRL, EOB, restart resets, chroma subsampling, odd padding)."""
+    img = smooth(*shape, seed=quality)
+    data = jpeg_encode(img, quality=quality, subsampling=sub, restart_interval=ri)
+    fast = jpeg_decode(data, _engine="fast")
+    walk = jpeg_decode(data, _engine="walk")
+    assert (fast == walk).all()
+
+
+def test_fast_entropy_decode_matches_walk_noise():
+    """Worst-case entropy stream: q100 noise (dense AC coefficients, long
+    codes) must still match bit-for-bit."""
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    data = jpeg_encode(img, quality=100)
+    assert (jpeg_decode(data, _engine="fast") == jpeg_decode(data, _engine="walk")).all()
+
+
+@pytest.mark.parametrize(
+    "shape,sub,quality,ri",
+    [
+        ((128, 128), "444", 90, 1),
+        ((128, 136), "420", 85, 1),
+        ((136, 264), "420", 95, 2),  # 153 MCUs / ri=2: ragged last segment
+        ((128, 128), "444", 10, 1),  # sparse blocks, early EOBs
+    ],
+)
+def test_batched_segment_decode_matches_walk(shape, sub, quality, ri):
+    """Enough short restart segments trigger the lane-parallel batched
+    entropy decoder; it must be bit-identical to the walk reference."""
+    from osmalyzer_spark.datagen import jpeg as J
+
+    img = smooth(*shape, seed=quality + ri)
+    data = jpeg_encode(img, quality=quality, subsampling=sub, restart_interval=ri)
+    # confirm the batched path is actually selected for this stream
+    n_mcus_x = -(-shape[1] // (8 * (2 if sub == "420" else 1)))
+    n_mcus_y = -(-shape[0] // (8 * (2 if sub == "420" else 1)))
+    assert n_mcus_x * n_mcus_y // ri >= 64
+    assert (jpeg_decode(data, _engine="fast") == jpeg_decode(data, _engine="walk")).all()
