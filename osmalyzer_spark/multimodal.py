@@ -17,8 +17,10 @@ implementation of its public spec (no codec libs in the container):
   datagen/jpeg.py mjpeg_split), and OSV1 block-motion-compensated
   inter-frame video (h264-class GOP/I/P structure, datagen/video.py)
   frame sampling;
-* audio: RAWA raw PCM container and RIFF/WAV with 16-bit PCM or IMA
-  ADPCM compression (datagen/wav_adpcm.py, block-vectorized).
+* audio: RAWA raw PCM container, RIFF/WAV with 16-bit PCM or IMA
+  ADPCM compression (datagen/wav_adpcm.py, block-vectorized), and OSA1
+  MDCT transform audio (mp3-class overlapped-window structure,
+  datagen/mdct_audio.py).
 
 Unknown video/audio formats raise a declared NotImplementedError per
 row; every listed format runs its real from-scratch codec.
@@ -188,11 +190,12 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio feature extraction: duration, RMS, peak, zero-crossing rate.
 
-    REAL for fmt='rawa' (raw int16 PCM container, datagen/rawmedia.py)
-    and fmt='wav' (RIFF/WAVE, 16-bit PCM or IMA ADPCM compressed —
-    datagen/wav_adpcm.py) — the feature math is plain numpy over the
-    decoded samples; transform codecs (mp3-class) raise a declared
-    NotImplementedError per row."""
+    REAL for fmt='rawa' (raw int16 PCM container, datagen/rawmedia.py),
+    fmt='wav' (RIFF/WAVE, 16-bit PCM or IMA ADPCM compressed —
+    datagen/wav_adpcm.py), and fmt='osa' (OSA1 MDCT transform audio,
+    datagen/mdct_audio.py) — the feature math is plain numpy over the
+    decoded samples."""
+    from osmalyzer_spark.datagen.mdct_audio import audio_decode
     from osmalyzer_spark.datagen.rawmedia import unpack_rawa
     from osmalyzer_spark.datagen.wav_adpcm import wav_decode
 
@@ -204,10 +207,12 @@ def extract_audio_features(
                     pcm, rate = unpack_rawa(bytes(blob))
                 elif fmt == "wav":
                     pcm, rate = wav_decode(bytes(blob))
+                elif fmt == "osa":
+                    pcm, rate = audio_decode(bytes(blob))
                 else:
                     raise NotImplementedError(
                         f"no decoder for audio format {fmt!r} in this "
-                        "environment (rawa and wav containers only); see "
+                        "environment (rawa/wav/osa containers only); see "
                         "multimodal.py docstring"
                     )
                 x = pcm.astype(np.float64) / 32768.0
