@@ -2148,6 +2148,221 @@ def q37_checkpointed_correlator(spark, sf_dir):
 _ORACLES["q37_checkpointed_correlator"] = _ORACLES["q27_correlator"]
 
 
+# --------------------------------------------------------------------------
+# q38 — multimodal image round-trip, hash-gated (round 5). The binary
+# column ops were pytest-only; this gives the image path a CORRECTNESS
+# row. Spark side: synthesize a deterministic 16x16 RGB image per
+# customer from an integer pixel formula, run it through the REAL
+# from-scratch PNG codec (encode -> binary column -> decode), reduce to
+# per-channel pixel means, and gate the JPEG codec with a PSNR>=40
+# boolean at q95. Oracle side: PNG is lossless, so DuckDB reproduces the
+# means ANALYTICALLY from the same pixel formula over a generated
+# (y, x) grid — any codec bug (wrong filter, wrong predictor, channel
+# swap, off-by-one crop) breaks the hash.
+# --------------------------------------------------------------------------
+
+_Q38_SIDE = 16
+_Q38_LIMIT = 300  # customers with c_custkey < 300: plenty, bounded wall
+
+
+def q38_image_roundtrip(spark, sf_dir):
+    """Multimodal gate: per-customer deterministic RGB image -> real PNG
+    encode/decode (datagen/png.py) -> channel means; JPEG q95 PSNR>=40
+    flag (datagen/jpeg.py). Arrow-batched mapInPandas; payload stays
+    binary in the middle stage exactly like a real image column."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    side = _Q38_SIDE
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _Q38_LIMIT)
+        .select("c_custkey")
+    )
+
+    def make_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osmalyzer_spark.datagen.png import png_encode
+
+        yy, xx = np.mgrid[0:side, 0:side]
+        for pdf in batches:
+            out = []
+            for k in pdf["c_custkey"]:
+                k = int(k)
+                # piecewise-constant over JPEG-block-aligned 8x8 tiles:
+                # lossless for PNG by construction and DC-dominated for
+                # the q95 JPEG gate (flat blocks quantize near-exactly)
+                px = np.stack(
+                    [
+                        (k * 7919 + (yy // 8) * 131 + (xx // 8) * 17) % 256,
+                        (k * 104729 + (yy // 8) * 37 + (xx // 8) * 59) % 256,
+                        (k * 1299709 + (yy // 8) * 11 + (xx // 8) * 241) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                out.append((k, bytearray(png_encode(px))))
+            yield pd.DataFrame(out, columns=["c_custkey", "bytes"])
+
+    def measure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osmalyzer_spark.datagen.jpeg import jpeg_decode, jpeg_encode
+        from osmalyzer_spark.datagen.png import decode_image, psnr
+
+        for pdf in batches:
+            out = []
+            for k, blob in zip(pdf["c_custkey"], pdf["bytes"]):
+                px = decode_image(bytes(blob), "png")
+                # exact integer channel sums: no float rounding ties
+                # between engines (a /256 mean hits exact half-at-4dp
+                # ties where Python banker's and SQL half-up disagree)
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                jpeg_ok = bool(
+                    psnr(px, jpeg_decode(jpeg_encode(px, quality=95))) >= 40.0
+                )
+                out.append(
+                    (int(k), int(sums[0]), int(sums[1]), int(sums[2]), jpeg_ok)
+                )
+            yield pd.DataFrame(
+                out, columns=["c_custkey", "sum_r", "sum_g", "sum_b", "jpeg_ok"]
+            )
+
+    images = cust.mapInPandas(make_images, schema="c_custkey long, bytes binary")
+    return images.mapInPandas(
+        measure,
+        schema=(
+            "c_custkey long, sum_r long, sum_g long, sum_b long, jpeg_ok boolean"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — multimodal audio round-trip, hash-gated (round 5). Spark side:
+# synthesize deterministic int16 PCM per customer, run it through the
+# REAL RIFF/WAV codec (encode -> binary column -> decode,
+# datagen/wav_adpcm.py) and reduce to an exact integer sum-of-squares +
+# sample count; gate the lossy codecs (IMA ADPCM and the OSA1 MDCT
+# transform codec) with SNR>=25/40 dB booleans. Oracle: WAV/PCM16 is
+# lossless, so DuckDB reproduces sumsq/n analytically from the same
+# sample formula — any codec bug (header arithmetic, endianness, block
+# alignment, sample crop) breaks the hash.
+# --------------------------------------------------------------------------
+
+_Q39_NSAMP = 2048
+_Q39_LIMIT = 300
+
+
+def q39_audio_roundtrip(spark, sf_dir):
+    """Multimodal audio gate: per-customer deterministic PCM -> real
+    WAV encode/decode -> exact integer sum of squares; ADPCM + MDCT SNR
+    flags. Arrow-batched mapInPandas with a real binary payload stage."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    n = _Q39_NSAMP
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _Q39_LIMIT)
+        .select("c_custkey")
+    )
+
+    def make_wavs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osmalyzer_spark.datagen.wav_adpcm import wav_encode
+
+        i = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            out = []
+            for k in pdf["c_custkey"]:
+                k = int(k)
+                # triangle wave (no wrap discontinuity: ADPCM tracks
+                # smooth ramps; a modular sawtooth's full-scale jumps
+                # drop its SNR below any honest gate)
+                pcm = (
+                    (np.abs(((k * 131 + i * 17) % 8192) - 4096) - 2048) * 8
+                ).astype(np.int16)
+                out.append((k, bytearray(wav_encode(pcm, 8000, "pcm"))))
+            yield pd.DataFrame(out, columns=["c_custkey", "bytes"])
+
+    def measure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osmalyzer_spark.datagen.mdct_audio import audio_decode, audio_encode, snr_db
+        from osmalyzer_spark.datagen.wav_adpcm import wav_decode, wav_encode
+
+        for pdf in batches:
+            out = []
+            for k, blob in zip(pdf["c_custkey"], pdf["bytes"]):
+                pcm, rate = wav_decode(bytes(blob))
+                sumsq = int((pcm.astype(np.int64) ** 2).sum())
+                adpcm_rt, _ = wav_decode(wav_encode(pcm, rate, "adpcm"))
+                mdct_rt, _ = audio_decode(audio_encode(pcm, rate, 95))
+                out.append(
+                    (
+                        int(k),
+                        sumsq,
+                        int(pcm.shape[0]),
+                        bool(snr_db(pcm, adpcm_rt) >= 25.0),
+                        bool(snr_db(pcm, mdct_rt) >= 40.0),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["c_custkey", "sumsq", "n_samples", "adpcm_ok", "mdct_ok"],
+            )
+
+    wavs = cust.mapInPandas(make_wavs, schema="c_custkey long, bytes binary")
+    return wavs.mapInPandas(
+        measure,
+        schema=(
+            "c_custkey long, sumsq long, n_samples long, adpcm_ok boolean, "
+            "mdct_ok boolean"
+        ),
+    )
+
+
+_ORACLES["q39_audio_roundtrip"] = f"""
+    WITH idx AS (
+      SELECT i.i AS i FROM generate_series(0, {_Q39_NSAMP - 1}) AS i(i)
+    ), cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey < {_Q39_LIMIT}
+    )
+    SELECT
+      c.c_custkey,
+      CAST(SUM(CAST((ABS(((c.c_custkey * 131 + g.i * 17) % 8192) - 4096) - 2048)
+                    * 8 AS BIGINT)
+               * ((ABS(((c.c_custkey * 131 + g.i * 17) % 8192) - 4096) - 2048)
+                  * 8)) AS BIGINT) AS sumsq,
+      COUNT(*) AS n_samples,
+      true AS adpcm_ok,
+      true AS mdct_ok
+    FROM cust c CROSS JOIN idx g
+    GROUP BY c.c_custkey
+"""
+
+
+_ORACLES["q38_image_roundtrip"] = f"""
+    WITH grid AS (
+      SELECT y.y AS y, x.x AS x
+      FROM generate_series(0, {_Q38_SIDE - 1}) AS y(y)
+      CROSS JOIN generate_series(0, {_Q38_SIDE - 1}) AS x(x)
+    ), cust AS (
+      SELECT c_custkey FROM customer WHERE c_custkey < {_Q38_LIMIT}
+    )
+    SELECT
+      c.c_custkey,
+      CAST(SUM((c.c_custkey * 7919 + (g.y // 8) * 131 + (g.x // 8) * 17) % 256)
+           AS BIGINT) AS sum_r,
+      CAST(SUM((c.c_custkey * 104729 + (g.y // 8) * 37 + (g.x // 8) * 59) % 256)
+           AS BIGINT) AS sum_g,
+      CAST(SUM((c.c_custkey * 1299709 + (g.y // 8) * 11 + (g.x // 8) * 241) % 256)
+           AS BIGINT) AS sum_b,
+      true AS jpeg_ok
+    FROM cust c CROSS JOIN grid g
+    GROUP BY c.c_custkey
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2187,6 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_trolleybus_wires": q35_trolleybus_wires,
         "q36_ivf_kmeans": q36_ivf_kmeans,
         "q37_checkpointed_correlator": q37_checkpointed_correlator,
+        "q38_image_roundtrip": q38_image_roundtrip,
+        "q39_audio_roundtrip": q39_audio_roundtrip,
     }
 
 
