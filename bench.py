@@ -69,6 +69,9 @@ def main() -> None:
         "q34_improper_translation": dq.q34_improper_translation,
         "q35_trolleybus_wires": dq.q35_trolleybus_wires,
         "q36_ivf_kmeans": dq.q36_ivf_kmeans,
+        "q37_checkpointed_correlator": dq.q37_checkpointed_correlator,
+        "q38_image_roundtrip": dq.q38_image_roundtrip,
+        "q39_audio_roundtrip": dq.q39_audio_roundtrip,
         "flagship_correlator": flagship_correlator,
     }
 
