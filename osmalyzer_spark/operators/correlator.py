@@ -848,23 +848,38 @@ def checkpointed_correlate(
     comps = connected_components_star(edges, max_iter=cc_max_iter).localCheckpoint(
         eager=True
     )
+    pt["cc_star_s"] = round(time.time() - t0, 2)
+    t_sizes = time.time()
 
     # split components by WORK size (candidate-pair count, the matching
     # cost driver); the big list is tiny and deterministic, so bucket ids
-    # n_buckets+rank are stable across crash/resume recomputation
-    sizes = (
-        pairs_all.join(
-            comps.select(F.col("id").alias("__k"), "component"),
-            elem_code("elem_id") == F.col("__k"),
+    # n_buckets+rank are stable across crash/resume recomputation. The
+    # join + aggregate are node/pair-sized — pin them to the same
+    # data-proportional partitioning the star rounds used, not the
+    # cluster-sized session default.
+    n_pairs_all = pairs_all.count()
+    sizes_parts = max(4, min(4096, -(-n_pairs_all // 250_000)))
+    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(sizes_parts))
+    try:
+        sizes = (
+            pairs_all.join(
+                comps.select(F.col("id").alias("__k"), "component"),
+                elem_code("elem_id") == F.col("__k"),
+            )
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
         )
-        .groupBy("component")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-    )
-    big = sorted(
-        r["component"]
-        for r in sizes.filter(F.col("n_pairs") > small_component_max_pairs).collect()
-    )
+        big = sorted(
+            r["component"]
+            for r in sizes.filter(
+                F.col("n_pairs") > small_component_max_pairs
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
     big_bucket = {c: ck.n_buckets + rank for rank, c in enumerate(big)}
+    pt["cc_sizes_s"] = round(time.time() - t_sizes, 2)
     pt["connected_components_s"] = round(time.time() - t0, 2)
 
     def bucket_of(selfkey: Column) -> Column:
