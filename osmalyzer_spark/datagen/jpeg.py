@@ -681,16 +681,36 @@ def _decode_scan_batched(segs, order, comps, mcus_x, mcus_y, restart_interval, c
     slot_base_flat = slot_base.reshape(-1)
 
     coefflat = np.zeros(int(comp_off[-1]), np.int32)
-    preds_flat = np.zeros(ncomp * nseg, np.int64)
+    _pooled_lane_loop(
+        win, lutflat, offs * 8, nslots_l, slot_base_flat, max_slots,
+        slot_comp, slot_dctab, slot_actab, coefflat, ncomp,
+    )
+
+    for ci in range(ncomp):
+        coef[ci].reshape(-1)[:] = coefflat[comp_off[ci] : comp_off[ci + 1]]
+
+
+def _pooled_lane_loop(
+    win, lutflat, lane_pos0, nslots_l, slot_base_flat, max_slots,
+    slot_comp, slot_dctab, slot_actab, coefflat, ncomp,
+):
+    """The lane-parallel symbol loop: every lane (an independent entropy
+    segment — one restart segment, or one whole DRI-less image in the
+    cross-image pooled batch path) advances one Huffman symbol per
+    iteration. Per-iteration cost amortizes over lane WIDTH, so wide
+    pools decode long streams at batched speed."""
+    nlanes = nslots_l.shape[0]
+    preds_flat = np.zeros(ncomp * nlanes, np.int64)
 
     mask_a = np.array(_MAG_MASK, np.int64)
 
     # live lane state
-    lane = seg_ids[nslots_l > 0]
-    pos = offs[lane] * 8
+    lane = np.arange(nlanes, dtype=np.int64)[nslots_l > 0]
+    pos = lane_pos0[lane]
     k = np.zeros(lane.shape, np.int64)
     slot = np.zeros(lane.shape, np.int64)
     base = slot_base_flat[lane * (max_slots + 1)]
+    nseg = nlanes  # predictor table stride
 
     # interleave ac/dc table ids so one gather picks the lane's table:
     # tab_pair[slot*2 + (k==0)]
@@ -744,9 +764,6 @@ def _decode_scan_batched(segs, order, comps, mcus_x, mcus_y, restart_interval, c
                 done_blk = done_blk[alive]
             bi = np.flatnonzero(done_blk)
             base[bi] = slot_base_flat[lane[bi] * (max_slots + 1) + slot[bi]]
-
-    for ci in range(ncomp):
-        coef[ci].reshape(-1)[:] = coefflat[comp_off[ci] : comp_off[ci + 1]]
 
 
 def _decode_scan_fast(segs, order, comps, mcus_x, mcus_y, restart_interval, coef):
@@ -837,19 +854,15 @@ def _decode_scan_fast(segs, order, comps, mcus_x, mcus_y, restart_interval, coef
             )
 
 
-def jpeg_decode(
-    data: bytes, _engine: str = "fast", _phases: dict | None = None
-) -> np.ndarray:
-    """Decode baseline JPEG bytes -> (h, w, 3) uint8 RGB.
+def _parse_jpeg(data: bytes):
+    """Marker-structure parse of one baseline JPEG.
 
-    _engine: 'fast' (default, table-driven lookahead) or 'walk' (the
-    original bit-at-a-time reference, kept as a differential oracle).
-    _phases: optional dict filled with per-stage wall seconds
-    ('entropy_s' = scan decode stage) for the microbenchmark."""
+    Returns (qtables, htables, frame=(h, w, comps), restart_interval,
+    scan_comps, segs) — everything the entropy decoder and the
+    reconstruction tail need; shared by the single-image and pooled
+    batch decode paths."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
-    if _engine not in ("fast", "walk"):
-        raise ValueError("_engine must be 'fast' or 'walk'")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], tuple[list[int], list[int]]] = {}
@@ -915,8 +928,29 @@ def jpeg_decode(
 
     if frame is None or scan is None:
         raise ValueError("missing SOF/SOS")
-    h, w, comps = frame
     scan_comps, segs = scan
+    return qtables, htables, frame, restart_interval, scan_comps, segs
+
+
+def jpeg_decode(
+    data: bytes, _engine: str = "fast", _phases: dict | None = None
+) -> np.ndarray:
+    """Decode baseline JPEG bytes -> (h, w, 3) uint8 RGB.
+
+    _engine: 'fast' (default, table-driven lookahead) or 'walk' (the
+    original bit-at-a-time reference, kept as a differential oracle).
+    _phases: optional dict filled with per-stage wall seconds
+    ('entropy_s' = scan decode stage) for the microbenchmark."""
+    if _engine not in ("fast", "walk"):
+        raise ValueError("_engine must be 'fast' or 'walk'")
+    return _decode_parsed(_parse_jpeg(data), _engine, _phases)
+
+
+def _decode_parsed(
+    parsed, _engine: str = "fast", _phases: dict | None = None
+) -> np.ndarray:
+    qtables, htables, frame, restart_interval, scan_comps, segs = parsed
+    h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-w // (8 * hmax))
@@ -971,6 +1005,228 @@ def jpeg_decode(
         y = np.clip(np.round(ycc[..., 0]), 0, 255).astype(np.uint8)
         return np.stack([y, y, y], axis=-1)
     return ycbcr_to_rgb(ycc[..., :3])
+
+
+# ---------------------------------------------------------------------------
+# Cross-image pooled batch decode: an Arrow batch of same-configuration
+# JPEGs (identical dims, sampling, Huffman + quant tables, DRI — the
+# shape of any homogeneous image corpus or MJPEG stream) decodes as ONE
+# lane pool: every image's entropy segments become lanes of the shared
+# symbol loop, so per-iteration numpy cost amortizes over the batch
+# width even for DRI-LESS streams (one lane per image). Dequantize /
+# IDCT / upsample / color then run as single stacked ops over the whole
+# chunk. Mixed-configuration batches split into per-config groups;
+# singleton groups fall back to the single-image decoder.
+# ---------------------------------------------------------------------------
+
+
+def _group_key(qtables, htables, frame, ri, scan_comps):
+    return (
+        frame[0],
+        frame[1],
+        tuple(frame[2]),
+        tuple(scan_comps),
+        ri,
+        tuple(
+            (k, bytes(bv[0]), bytes(bv[1])) for k, bv in sorted(htables.items())
+        ),
+        tuple((k, v.tobytes()) for k, v in sorted(qtables.items())),
+    )
+
+
+def jpeg_decode_batch(
+    datas: list[bytes], _engine: str = "fast", _phases: dict | None = None
+) -> list[np.ndarray]:
+    """Decode many baseline JPEGs -> list of (h, w, 3) uint8 RGB.
+
+    Same bits as mapping jpeg_decode over the list (tested), but
+    same-configuration images pool their entropy segments into one
+    lane-parallel run — the batch-decode fast path for image columns."""
+    if _engine != "fast":
+        return [jpeg_decode(d, _engine=_engine) for d in datas]
+    parsed = [_parse_jpeg(d) for d in datas]
+    groups: dict[tuple, list[int]] = {}
+    for i, (qt, ht, frame, ri, sc, _segs) in enumerate(parsed):
+        groups.setdefault(_group_key(qt, ht, frame, ri, sc), []).append(i)
+    out: list[np.ndarray | None] = [None] * len(datas)
+    t_entropy = 0.0
+    for idxs in groups.values():
+        if len(idxs) == 1:
+            out[idxs[0]] = jpeg_decode(datas[idxs[0]])
+            continue
+        t_entropy += _decode_group(parsed, idxs, out)
+    if _phases is not None:
+        _phases["entropy_s"] = t_entropy
+    return out  # type: ignore[return-value]
+
+
+def _decode_group(parsed, idxs, out) -> float:
+    """Pooled decode of one same-configuration image group into out[i].
+
+    Returns entropy-stage seconds (for the microbenchmark)."""
+    import time as _time
+
+    qtables, htables, frame, restart_interval, scan_comps, _ = parsed[idxs[0]]
+    h, w, comps = frame
+    ncomp = len(comps)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    ri = restart_interval or n_mcus
+
+    by_id = {c[0]: c for c in comps}
+    order = []
+    for cid, td, ta in scan_comps:
+        ci = comps.index(by_id[cid])
+        order.append((ci, htables[(0, td)], htables[(1, ta)]))
+
+    # shared LUT stack + slot schedule (identical for every image)
+    tbl_keys: list[tuple] = []
+    tbl_arrs: list[np.ndarray] = []
+
+    def tbl_index(bv) -> int:
+        key = (bytes(bv[0]), bytes(bv[1]), bv[2])
+        if key in tbl_keys:
+            return tbl_keys.index(key)
+        tbl_keys.append(key)
+        tbl_arrs.append(_fast_lut_arr(*bv))
+        return len(tbl_keys) - 1
+
+    comp_dc = {ci: tbl_index((*dc_bv, "dc")) for ci, dc_bv, _ in order}
+    comp_ac = {ci: tbl_index((*ac_bv, "split")) for ci, _, ac_bv in order}
+    lutflat = np.concatenate(tbl_arrs)
+
+    slotseq = []
+    for ci, _, _ in order:
+        _, hs, vs, _ = comps[ci]
+        for v in range(vs):
+            for hh in range(hs):
+                slotseq.append((ci, v, hh))
+    bpm = len(slotseq)
+    max_slots = ri * bpm
+    comp_off = np.zeros(ncomp + 1, np.int64)
+    for ci in range(ncomp):
+        _, hs, vs, _ = comps[ci]
+        comp_off[ci + 1] = comp_off[ci] + (mcus_y * vs) * (mcus_x * hs) * 64
+    img_coef = int(comp_off[-1])
+    slot_comp = np.array([ci for ci, _, _ in slotseq * ri] + [0], np.int64)
+    slot_dctab = np.array([comp_dc[ci] for ci, _, _ in slotseq * ri] + [0], np.int64)
+    slot_actab = np.array([comp_ac[ci] for ci, _, _ in slotseq * ri] + [0], np.int64)
+
+    # chunk the group so pooled buffers stay bounded: ~24 MB of scan
+    # bytes per entropy run, ~64M coefficient values (256 MB int32)
+    per_img_bytes = max(1, sum(len(s) for s in parsed[idxs[0]][5]))
+    by_bytes = max(1, 24_000_000 // per_img_bytes)
+    by_coef = max(1, 64_000_000 // img_coef)
+    step = max(1, min(by_bytes, by_coef))
+
+    segs_per_img = -(-n_mcus // ri)
+    # pooling pays only when the lane pool is WIDE enough to amortize
+    # per-iteration numpy overhead (measured crossover ~400 lanes for
+    # long DRI-less streams); a narrow pool decodes faster per image
+    if min(step, len(idxs)) * segs_per_img < 384:
+        t0 = _time.perf_counter()
+        for i in idxs:
+            out[i] = _decode_parsed(parsed[i])
+        return _time.perf_counter() - t0
+
+    t_entropy = 0.0
+    for c0 in range(0, len(idxs), step):
+        chunk = idxs[c0 : c0 + step]
+        nimg = len(chunk)
+        # lanes = (image, segment); concat scan buffers with 0xFF pads
+        parts = []
+        lane_pos0 = []
+        lane_img = []
+        lane_mcu0 = []
+        o = 0
+        for q, i in enumerate(chunk):
+            segs = parsed[i][5]
+            for s in range(segs_per_img):
+                sg = segs[s]
+                lane_pos0.append(o * 8)
+                lane_img.append(q)
+                lane_mcu0.append(s * ri)
+                parts.append(sg)
+                parts.append(b"\xff" * 8)
+                o += len(sg) + 8
+        # int32 windows (24-bit values): half the build/gather traffic of
+        # int64; the lane loop's mixed-dtype arithmetic upcasts safely
+        b = np.frombuffer(b"".join(parts), dtype=np.uint8)
+        win = b[:-2].astype(np.int32) << 16
+        win |= b[1:-1].astype(np.int32) << 8
+        win |= b[2:]
+        lane_pos0 = np.array(lane_pos0, np.int64)
+        lane_img = np.array(lane_img, np.int64)
+        lane_mcu0 = np.array(lane_mcu0, np.int64)
+        nslots_l = np.minimum(ri, n_mcus - lane_mcu0) * bpm
+        nlanes = lane_pos0.shape[0]
+
+        slot_base = np.zeros((nlanes, max_slots + 1), np.int64)
+        img_base = lane_img * img_coef
+        for j in range(max_slots):
+            ci, v, hh = slotseq[j % bpm]
+            _, hs, vs, _ = comps[ci]
+            bx = mcus_x * hs
+            g = np.minimum(lane_mcu0 + j // bpm, n_mcus - 1)
+            my = g // mcus_x
+            mx = g % mcus_x
+            slot_base[:, j] = (
+                img_base + comp_off[ci] + (((my * vs + v) * bx + mx * hs + hh) << 6)
+            )
+
+        coefflat = np.zeros(nimg * img_coef, np.int32)
+        t0 = _time.perf_counter()
+        _pooled_lane_loop(
+            win, lutflat, lane_pos0, nslots_l, slot_base.reshape(-1), max_slots,
+            slot_comp, slot_dctab, slot_actab, coefflat, ncomp,
+        )
+        t_entropy += _time.perf_counter() - t0
+
+        # stacked dequant/IDCT/upsample/color in CACHE-SIZED sub-chunks:
+        # a full-chunk stack is DRAM-bound at every stage (measured 7x
+        # slower than ~3 MB working sets on 512x128px batches)
+        dct32 = DCT.astype(np.float32)
+        coef2 = coefflat.reshape(nimg, img_coef)
+        rchunk = max(1, 400_000 // max(1, h * w))
+        for r0 in range(0, nimg, rchunk):
+            sub = slice(r0, min(r0 + rchunk, nimg))
+            n = sub.stop - sub.start
+            ycc = np.empty((n, h, w, 3 if ncomp >= 3 else 1), np.float32)
+            for ci, c in enumerate(comps):
+                _, hs, vs, tq = c
+                by, bx = mcus_y * vs, mcus_x * hs
+                nb = by * bx
+                zz = coef2[sub, int(comp_off[ci]) : int(comp_off[ci + 1])].reshape(
+                    n * nb, 64
+                )
+                nat = np.zeros(zz.shape, np.float32)
+                nat[:, ZIGZAG] = zz
+                blocks = nat.reshape(-1, 8, 8) * qtables[tq].astype(np.float32)
+                pix = (dct32.T @ blocks) @ dct32 + np.float32(128.0)
+                plane = (
+                    pix.reshape(n, by, bx, 8, 8)
+                    .transpose(0, 1, 3, 2, 4)
+                    .reshape(n, by * 8, bx * 8)
+                )
+                fy, fx = vmax // vs, hmax // hs
+                if fy > 1 or fx > 1:
+                    ph, pw = plane.shape[1:]
+                    plane = np.broadcast_to(
+                        plane[:, :, None, :, None], (n, ph, fy, pw, fx)
+                    ).reshape(n, ph * fy, pw * fx)
+                if ci < ycc.shape[-1]:
+                    ycc[..., ci] = plane[:, :h, :w]
+            if ncomp == 1:
+                y = np.clip(np.round(ycc[..., 0]), 0, 255).astype(np.uint8)
+                rgb = np.stack([y, y, y], axis=-1)
+            else:
+                rgb = ycbcr_to_rgb(ycc)
+            for q in range(n):
+                out[chunk[r0 + q]] = rgb[q]
+    return t_entropy
 
 
 # ---------------------------------------------------------------------------

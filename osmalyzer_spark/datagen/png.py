@@ -83,6 +83,28 @@ def decode_image(data: bytes, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown image format {fmt!r}")
 
 
+def decode_images_batch(datas, fmts) -> list[np.ndarray]:
+    """Decode an Arrow batch worth of images, pooling same-configuration
+    JPEGs through the lane-parallel batch decoder (datagen/jpeg.py
+    jpeg_decode_batch); PNGs decode per image (already vectorized per
+    scanline pass). Same bits as decode_image row by row."""
+    from osmalyzer_spark.datagen.jpeg import jpeg_decode_batch
+
+    out: list[np.ndarray | None] = [None] * len(datas)
+    jpeg_idx = []
+    jpeg_data = []
+    for i, (d, f) in enumerate(zip(datas, fmts)):
+        if f == "jpeg":
+            jpeg_idx.append(i)
+            jpeg_data.append(bytes(d))
+        else:
+            out[i] = decode_image(bytes(d), f)
+    if jpeg_idx:
+        for i, px in zip(jpeg_idx, jpeg_decode_batch(jpeg_data)):
+            out[i] = px
+    return out  # type: ignore[return-value]
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     a = a.astype(np.float64)

@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from osmalyzer_spark.datagen.png import decode_image, png_encode, psnr
+from osmalyzer_spark.datagen.png import (
+    decode_image,
+    decode_images_batch,
+    png_encode,
+    psnr,
+)
 
 PSNR_THRESHOLD_DB = 40.0
 
@@ -46,10 +51,12 @@ def mean_color_udf():
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def _mean(data: pd.Series, fmt: pd.Series) -> pd.Series:
-        out = []
-        for b, f in zip(data, fmt):
-            px = decode_image(bytes(b), f)
-            out.append([float(x) for x in px.reshape(-1, 3).mean(axis=0)])
+        # whole-Arrow-batch decode: same-config JPEGs pool into one
+        # lane-parallel entropy run (jpeg_decode_batch)
+        pixs = decode_images_batch(list(data), list(fmt))
+        out = [
+            [float(x) for x in px.reshape(-1, 3).mean(axis=0)] for px in pixs
+        ]
         return pd.Series(out)
 
     return _mean
@@ -104,10 +111,10 @@ def check_payload_integrity(
 
     @F.pandas_udf(T.DoubleType())
     def psnr_udf(ob: pd.Series, of: pd.Series, pb: pd.Series, pf: pd.Series) -> pd.Series:
+        a_pix = decode_images_batch(list(ob), list(of))
+        b_pix = decode_images_batch(list(pb), list(pf))
         out = np.empty(len(ob))
-        for i in range(len(ob)):
-            a = decode_image(bytes(ob.iloc[i]), of.iloc[i])
-            b = decode_image(bytes(pb.iloc[i]), pf.iloc[i])
+        for i, (a, b) in enumerate(zip(a_pix, b_pix)):
             if a.shape != b.shape:
                 out[i] = float("-inf")
             else:

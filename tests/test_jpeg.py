@@ -187,3 +187,49 @@ def test_batched_segment_decode_matches_walk(shape, sub, quality, ri):
     n_mcus_y = -(-shape[0] // (8 * (2 if sub == "420" else 1)))
     assert n_mcus_x * n_mcus_y // ri >= 64
     assert (jpeg_decode(data, _engine="fast") == jpeg_decode(data, _engine="walk")).all()
+
+
+def test_jpeg_decode_batch_mixed_configs_bit_identical():
+    """Batch decode groups same-config images and pools their entropy
+    segments; output must be bit-identical to per-image decode across a
+    batch mixing dims, sampling, quality, and DRI."""
+    from osmalyzer_spark.datagen.jpeg import jpeg_decode_batch
+
+    datas = []
+    for i in range(18):
+        img = smooth(*[(32, 48), (40, 40), (64, 56)][i % 3], seed=i)
+        kw = [
+            dict(quality=90, subsampling="420"),
+            dict(quality=85, subsampling="444"),
+            dict(quality=90, subsampling="420", restart_interval=2),
+        ][i % 3]
+        datas.append(jpeg_encode(img, **kw))
+    got = jpeg_decode_batch(datas)
+    for g, d in zip(got, datas):
+        assert (g == jpeg_decode(d)).all()
+
+
+def test_jpeg_decode_batch_pooled_path_engaged():
+    """A wide homogeneous DRI-less batch must take the pooled lane path
+    (not the per-image fallback) and stay bit-identical."""
+    from osmalyzer_spark.datagen import jpeg as J
+
+    datas = [
+        jpeg_encode(smooth(24, 24, seed=i), quality=90, subsampling="444")
+        for i in range(420)
+    ]
+    calls = {"n": 0}
+    orig = J._pooled_lane_loop
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    J._pooled_lane_loop = spy
+    try:
+        got = J.jpeg_decode_batch(datas)
+    finally:
+        J._pooled_lane_loop = orig
+    assert calls["n"] >= 1  # pooled path actually ran
+    for g, d in zip(got, datas):
+        assert (g == jpeg_decode(d)).all()

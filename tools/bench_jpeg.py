@@ -90,5 +90,42 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def batch_mode(side: int = 128, n: int = 512) -> None:
+    """Cross-image pooled batch decode vs per-image (DRI-less corpus)."""
+    imgs = [natural_image(side, seed=i) for i in range(n)]
+    datas = [jpeg_encode(im, quality=90, subsampling="420") for im in imgs]
+    from osmalyzer_spark.datagen.jpeg import jpeg_decode_batch
+
+    jpeg_decode_batch(datas[: min(64, n)])  # warm
+    t0 = time.perf_counter()
+    r1 = jpeg_decode_batch(datas)
+    tb = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r2 = [jpeg_decode(d) for d in datas]
+    ts = time.perf_counter() - t0
+    assert all((a == b).all() for a, b in zip(r1, r2))
+    mb = sum(len(d) for d in datas) / 1e6
+    print(
+        json.dumps(
+            {
+                "mode": "batch",
+                "side": side,
+                "n_images": n,
+                "batch_s": round(tb, 3),
+                "per_image_s": round(ts, 3),
+                "speedup": round(ts / tb, 2),
+                "batch_mb_per_s": round(mb / tb, 2),
+                "batch_mpixel_per_s": round(n * side * side / 1e6 / tb, 2),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--batch":
+        batch_mode(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 128,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 512,
+        )
+    else:
+        main()
