@@ -105,6 +105,39 @@ def decode_images_batch(datas, fmts) -> list[np.ndarray]:
     return out  # type: ignore[return-value]
 
 
+def image_dims(data: bytes, fmt: str) -> tuple[int, int]:
+    """(w, h) from the container header alone — no pixel decode.
+
+    PNG: IHDR fields; JPEG: marker walk to SOF. Frame sampling and
+    catalog passes need only dimensions, and a full entropy decode for
+    metadata is exactly the kind of hidden 100 TB cost this avoids."""
+    data = bytes(data)
+    if fmt == "png":
+        if not data.startswith(_SIG) or data[12:16] != b"IHDR":
+            raise ValueError("not a PNG")
+        w, h = struct.unpack_from(">II", data, 16)
+        return int(w), int(h)
+    if fmt == "jpeg":
+        if data[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (no SOI)")
+        pos = 2
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"expected marker at byte {pos}")
+            marker = data[pos + 1]
+            pos += 2
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                continue
+            (seglen,) = struct.unpack_from(">H", data, pos)
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                          0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                _prec, h, w = struct.unpack_from(">BHH", data, pos + 2)
+                return int(w), int(h)
+            pos += seglen
+        raise ValueError("no SOF marker before end of stream")
+    raise ValueError(f"unknown image format {fmt!r}")
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio in dB; inf for identical images."""
     a = a.astype(np.float64)

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from osmalyzer_spark.datagen.png import (
     decode_image,
     decode_images_batch,
+    image_dims,
     png_encode,
     psnr,
 )
@@ -71,8 +72,9 @@ def resize_images(df: DataFrame, out_w: int, out_h: int, bytes_col: str = "bytes
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             new_bytes = []
-            for b, f in zip(pdf[bytes_col], pdf["fmt"]):
-                px = decode_image(bytes(b), f)
+            # whole-batch decode: same-config JPEGs pool into one run
+            pixs = decode_images_batch(list(pdf[bytes_col]), list(pdf["fmt"]))
+            for px in pixs:
                 ys = (np.arange(out_h) * px.shape[0] // out_h).clip(0, px.shape[0] - 1)
                 xs = (np.arange(out_w) * px.shape[1] // out_w).clip(0, px.shape[1] - 1)
                 new_bytes.append(bytearray(png_encode(px[ys][:, xs])))
@@ -178,9 +180,11 @@ def sample_video_frames(
                         "multimodal.py docstring"
                     )
                 for idx in range(0, len(frames), every_nth):
-                    px = decode_image(frames[idx], ffmt)
+                    # header-only dims: sampling re-emits the SOURCE frame
+                    # bytes, so no pixel decode is needed at all
+                    fw, fh = image_dims(frames[idx], ffmt)
                     out.append(
-                        (vid, idx, bytearray(frames[idx]), ffmt, px.shape[1], px.shape[0])
+                        (vid, idx, bytearray(frames[idx]), ffmt, fw, fh)
                     )
             yield pd.DataFrame(
                 out, columns=[id_col, "frame_idx", "bytes", "fmt", "w", "h"]

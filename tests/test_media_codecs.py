@@ -152,3 +152,26 @@ def test_audio_features_wav_adpcm(spark):
         assert got[i]["duration_s"] == 1.0
         assert got[i]["rms"] == pytest.approx(amp / math.sqrt(2), rel=0.02)
         assert got[i]["zero_cross_per_s"] == pytest.approx(2 * freq, rel=0.02)
+
+
+def test_image_dims_header_only():
+    """image_dims reads (w, h) from container headers without pixel
+    decode — the frame-sampling metadata path."""
+    import numpy as np
+
+    from osmalyzer_spark.datagen.png import image_dims, png_encode
+
+    img = np.zeros((21, 34, 3), np.uint8)
+    assert image_dims(png_encode(img), "png") == (34, 21)
+    assert image_dims(jpeg_encode(img, quality=90), "jpeg") == (34, 21)
+    assert (
+        image_dims(
+            jpeg_encode(img, quality=85, subsampling="420", restart_interval=2),
+            "jpeg",
+        )
+        == (34, 21)
+    )
+    with pytest.raises(ValueError, match="unknown image format"):
+        image_dims(b"", "tiff")
+    with pytest.raises(ValueError):
+        image_dims(b"garbage", "png")
