@@ -2181,6 +2181,7 @@ def q38_image_roundtrip(spark, sf_dir):
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < _Q38_LIMIT)
         .select("c_custkey")
+        .repartition(16)
     )
 
     def make_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2263,10 +2264,13 @@ def q39_audio_roundtrip(spark, sf_dir):
 
     n = _Q39_NSAMP
 
+    # spread the per-row codec work across cores: the filtered key range
+    # is one parquet row group = one task otherwise
     cust = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < _Q39_LIMIT)
         .select("c_custkey")
+        .repartition(16)
     )
 
     def make_wavs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
