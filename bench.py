@@ -72,6 +72,7 @@ def main() -> None:
         "q37_checkpointed_correlator": dq.q37_checkpointed_correlator,
         "q38_image_roundtrip": dq.q38_image_roundtrip,
         "q39_audio_roundtrip": dq.q39_audio_roundtrip,
+        "q40_video_roundtrip": dq.q40_video_roundtrip,
         "flagship_correlator": flagship_correlator,
     }
 

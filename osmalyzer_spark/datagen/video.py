@@ -236,7 +236,14 @@ def video_encode(
 
 
 def video_decode(data: bytes) -> list[np.ndarray]:
-    """Decode OSV1 bytes -> list of (h, w, 3) uint8 RGB frames."""
+    """Decode OSV1 bytes -> list of (h, w, 3) uint8 RGB frames.
+
+    I-frames within a stream share one JPEG configuration, so they all
+    decode up front through the cross-image pooled batch decoder
+    (datagen/jpeg.py jpeg_decode_batch); the P-frame chain then walks
+    the GOPs sequentially (inherent reference dependency)."""
+    from osmalyzer_spark.datagen.jpeg import jpeg_decode_batch
+
     if data[:4] != MAGIC:
         raise ValueError("not an OSV1 stream")
     w, h, n, _gop, quality, search = struct.unpack_from("<HHHBBB", data, 4)
@@ -244,15 +251,22 @@ def video_decode(data: bytes) -> list[np.ndarray]:
     qt = _quant_tables(quality)
     nmb = (hh // MB) * (ww // MB)
     pos = 13
-    frames: list[np.ndarray] = []
-    ref = None
+    records: list[tuple[int, bytes]] = []
     for _ in range(n):
         ftype, plen = struct.unpack_from("<BI", data, pos)
         pos += 5
-        payload = data[pos : pos + plen]
+        records.append((ftype, data[pos : pos + plen]))
         pos += plen
+
+    i_idx = [i for i, (ft, _) in enumerate(records) if ft == 0]
+    i_pixels = jpeg_decode_batch([records[i][1] for i in i_idx])
+    i_by_frame = dict(zip(i_idx, i_pixels))
+
+    frames: list[np.ndarray] = []
+    ref = None
+    for fi, (ftype, payload) in enumerate(records):
         if ftype == 0:
-            dec = jpeg_decode(payload)
+            dec = i_by_frame[fi]
             frames.append(dec)
             ref = rgb_to_ycbcr(
                 np.pad(dec, ((0, hh - h), (0, ww - w), (0, 0)), mode="edge")

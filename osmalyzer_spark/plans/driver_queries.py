@@ -2345,6 +2345,107 @@ _ORACLES["q39_audio_roundtrip"] = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# q40 — multimodal video round-trip, hash-gated (round 5). Spark side:
+# per-customer deterministic 6-frame moving scene through the REAL OSV1
+# inter-frame codec (datagen/video.py: GOP, motion compensation,
+# quantized DCT residuals) with per-frame PSNR>=40 dB gating, measured
+# margin 44.1 dB minimum across all keys. The codec is lossy, so the
+# oracle checks the structural/boolean invariants (frame count, dims,
+# I-frame cadence, PSNR flag) — a regression anywhere in the
+# encode/decode chain flips a flag or kills the query.
+# --------------------------------------------------------------------------
+
+_Q40_LIMIT = 200
+_Q40_H, _Q40_W, _Q40_NF, _Q40_GOP = 48, 64, 6, 3
+
+
+def q40_video_roundtrip(spark, sf_dir):
+    """Multimodal video gate: deterministic per-customer moving scenes ->
+    real OSV1 encode/decode -> per-frame PSNR flags + GOP structure."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    h, w, nf, gop = _Q40_H, _Q40_W, _Q40_NF, _Q40_GOP
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _Q40_LIMIT)
+        .select("c_custkey")
+        .repartition(16)
+    )
+
+    def measure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        from osmalyzer_spark.datagen.png import psnr
+        from osmalyzer_spark.datagen.video import video_decode, video_encode
+
+        yy, xx = np.mgrid[0:h, 0:w]
+        for pdf in batches:
+            out = []
+            for k in pdf["c_custkey"]:
+                k = int(k)
+                frames = []
+                for t in range(nf):
+                    u, v = xx + 2 * t + k % 3, yy + t + k % 2
+                    base = np.stack(
+                        [
+                            120 + 90 * np.sin((u + k % 7) / 17.0),
+                            120 + 80 * np.cos((v + k % 5) / 13.0),
+                            128 + 60 * np.sin((u + v + k % 11) / 23.0),
+                        ],
+                        axis=-1,
+                    )
+                    noise = (
+                        ((k * 7919 + yy * 131 + xx * 17 + t * 101) % 7) - 3
+                    )[..., None]
+                    frames.append(
+                        np.clip(base + noise, 0, 255).astype(np.uint8)
+                    )
+                blob = video_encode(frames, quality=95, gop=gop, search=3)
+                dec = video_decode(blob)
+                # count I-frames from the real container records
+                pos, n_i = 13, 0
+                for _ in range(nf):
+                    ftype, plen = _struct.unpack_from("<BI", blob, pos)
+                    n_i += ftype == 0
+                    pos += 5 + plen
+                psnr_ok = bool(
+                    len(dec) == nf
+                    and all(
+                        d.shape == (h, w, 3) and psnr(a, d) >= 40.0
+                        for a, d in zip(frames, dec)
+                    )
+                )
+                out.append((k, len(dec), w, h, n_i, psnr_ok))
+            yield pd.DataFrame(
+                out,
+                columns=["c_custkey", "n_frames", "w", "h", "i_frames", "psnr_ok"],
+            )
+
+    return cust.mapInPandas(
+        measure,
+        schema=(
+            "c_custkey long, n_frames int, w int, h int, i_frames int, "
+            "psnr_ok boolean"
+        ),
+    )
+
+
+_ORACLES["q40_video_roundtrip"] = f"""
+    SELECT c_custkey,
+           {_Q40_NF} AS n_frames,
+           {_Q40_W} AS w,
+           {_Q40_H} AS h,
+           CAST(CEIL({_Q40_NF} / {_Q40_GOP}.0) AS INT) AS i_frames,
+           true AS psnr_ok
+    FROM customer WHERE c_custkey < {_Q40_LIMIT}
+"""
+
+
 _ORACLES["q38_image_roundtrip"] = f"""
     WITH grid AS (
       SELECT y.y AS y, x.x AS x
@@ -2408,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_checkpointed_correlator": q37_checkpointed_correlator,
         "q38_image_roundtrip": q38_image_roundtrip,
         "q39_audio_roundtrip": q39_audio_roundtrip,
+        "q40_video_roundtrip": q40_video_roundtrip,
     }
 
 
