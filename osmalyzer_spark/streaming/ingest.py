@@ -78,3 +78,46 @@ def arrival_stats_stream(images_with_ts: DataFrame, window: str = "1 minute") ->
             F.approx_count_distinct("image_id").alias("approx_ids"),
         )
     )
+
+
+def extract_features_stream(images: DataFrame) -> DataFrame:
+    """Streaming media feature extraction: decode + mean-color per
+    arriving image row, Arrow-batched through the SAME cross-image
+    pooled decoder the batch path uses (datagen/jpeg.py
+    jpeg_decode_batch via decode_images_batch) — mapInPandas composes
+    with streaming sources unchanged, so the multimodal column is
+    first-class in both execution modes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osmalyzer_spark.datagen.png import decode_images_batch
+
+        for pdf in batches:
+            pixs = decode_images_batch(list(pdf["bytes"]), list(pdf["fmt"]))
+            rows = []
+            for img_id, px in zip(pdf["image_id"], pixs):
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        img_id,
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        float(means[0]),
+                        float(means[1]),
+                        float(means[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "w", "h", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        run,
+        schema=(
+            "image_id string, w int, h int, mean_r double, mean_g double, "
+            "mean_b double"
+        ),
+    )

@@ -81,3 +81,42 @@ def test_stateful_streaming_dedup_across_restarts(spark, dirs):
     run()
     out2 = {(r["doc_id"], r["key"]) for r in spark.read.parquet(out_dir).collect()}
     assert out2 == out1 | {(7, "kd")}  # ka/kb suppressed by persisted state
+
+
+def test_streaming_media_feature_extraction(spark, dirs):
+    """The multimodal decode path composes with Structured Streaming:
+    image rows stream through the pooled batch decoder into per-row
+    mean-color features, matching the batch-mode decode exactly."""
+    import numpy as np
+
+    from osmalyzer_spark.datagen.images import generate_images
+    from osmalyzer_spark.datagen.png import decode_image
+    from osmalyzer_spark.streaming.ingest import (
+        extract_features_stream,
+        read_images_stream,
+    )
+
+    in_dir, out_dir, ckpt = dirs
+    imgs = generate_images(spark, 40, seed=9, partitions=2)
+    imgs.write.mode("overwrite").parquet(in_dir)
+
+    feats = extract_features_stream(read_images_stream(spark, in_dir))
+    q = (
+        feats.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r["image_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    src = imgs.collect()
+    assert len(got) == len(src) == 40
+    for row in src[:10]:
+        px = decode_image(bytes(row["bytes"]), row["fmt"])
+        want = px.reshape(-1, 3).mean(axis=0)
+        g = got[row["image_id"]]
+        assert (g["w"], g["h"]) == (px.shape[1], px.shape[0])
+        assert np.allclose([g["mean_r"], g["mean_g"], g["mean_b"]], want)
