@@ -670,23 +670,11 @@ def _make_component_solver(p: CorrelatorParams):
                     break
         return hold
 
-    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        bucket = int(pdf["__bucket"].iloc[0])
-        e = pdf[pdf["__side"] == "e"]
-        i = pdf[pdf["__side"] == "i"]
-        pr = pdf[pdf["__side"] == "p"]
-        lone_flag = {
-            int(eid): bool(lf)
-            for eid, lf in zip(e["elem_id"], e["__lone"])
-        }
-        item_ids = [str(x) for x in i["item_id"]]
-        pairs_list = [
-            (str(iid), int(eid), int(s), float(d))
-            for iid, eid, s, d in zip(
-                pr["item_id"], pr["elem_id"], pr["strength"], pr["dist_m"]
-            )
-        ]
-
+    def solve_rows(bucket, lone_flag, item_ids, pairs_list):
+        """Pure-Python component solve over native rows: lone_flag is
+        {elem_id: bool}, item_ids a list, pairs_list [(iid, eid, s, d)].
+        Returns output tuples (no pandas — the task-level batch wrapper
+        converts ONCE per Arrow task, not once per component)."""
         # forward: items propose by (dist, elem_id); elements accept by
         # (strength desc, dist, item_id)
         fwd: dict = {}
@@ -737,8 +725,32 @@ def _make_component_solver(p: CorrelatorParams):
         out.extend((KIND_UNMATCHED_ITEM, None, iid, None, None, None, bucket) for iid in un_items)
         out.extend((KIND_UNMATCHED_OSM, eid, None, None, None, None, bucket) for eid in plain_un)
         out.extend((KIND_LONE_OSM, eid, None, None, None, None, bucket) for eid in lone_elems)
+        return out
+
+    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        bucket = int(pdf["__bucket"].iloc[0])
+        e = pdf[pdf["__side"] == "e"]
+        i = pdf[pdf["__side"] == "i"]
+        pr = pdf[pdf["__side"] == "p"]
+        lone_flag = {
+            int(eid): bool(lf)
+            for eid, lf in zip(e["elem_id"].tolist(), e["__lone"].tolist())
+        }
+        item_ids = i["item_id"].tolist()
+        pairs_list = [
+            (iid, int(eid), int(s), float(d))
+            for iid, eid, s, d in zip(
+                pr["item_id"].tolist(),
+                pr["elem_id"].tolist(),
+                pr["strength"].tolist(),
+                pr["dist_m"].tolist(),
+            )
+        ]
+        out = solve_rows(bucket, lone_flag, item_ids, pairs_list)
         return pd.DataFrame(out, columns=cols)
 
+    solve.solve_rows = solve_rows  # type: ignore[attr-defined]
+    solve.cols = cols  # type: ignore[attr-defined]
     return solve
 
 
@@ -999,8 +1011,44 @@ def checkpointed_correlate(
         def batch_solve(pdf):
             import pandas as _pd
 
-            outs = [solver(g) for _, g in pdf.groupby("__comp", sort=False)]
-            return _pd.concat(outs, ignore_index=True)
+            # ONE C-level conversion per Arrow task, then a plain-Python
+            # component loop: per-component pandas slicing (3 boolean
+            # masks + a frame build x tens of thousands of ~20-row
+            # components) was a bigger tax than the matching itself
+            pdf = pdf.sort_values("__comp", kind="stable")
+            comps = pdf["__comp"].tolist()
+            sides = pdf["__side"].tolist()
+            eids = pdf["elem_id"].tolist()
+            lones = pdf["__lone"].tolist()
+            iids = pdf["item_id"].tolist()
+            strengths = pdf["strength"].tolist()
+            dists = pdf["dist_m"].tolist()
+            buckets = pdf["__bucket"].tolist()
+            solve_rows = solver.solve_rows
+            out_all = []
+            n = len(comps)
+            start = 0
+            for idx in range(1, n + 1):
+                if idx < n and comps[idx] == comps[start]:
+                    continue
+                lone_flag = {}
+                item_ids = []
+                pairs = []
+                for r in range(start, idx):
+                    sd = sides[r]
+                    if sd == "p":
+                        pairs.append(
+                            (iids[r], int(eids[r]), int(strengths[r]), dists[r])
+                        )
+                    elif sd == "e":
+                        lone_flag[int(eids[r])] = bool(lones[r])
+                    else:
+                        item_ids.append(iids[r])
+                out_all.extend(
+                    solve_rows(int(buckets[start]), lone_flag, item_ids, pairs)
+                )
+                start = idx
+            return _pd.DataFrame(out_all, columns=solver.cols)
 
         grouped = (
             sl.filter(~F.col("__single"))
