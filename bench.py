@@ -73,6 +73,7 @@ def main() -> None:
         "q38_image_roundtrip": dq.q38_image_roundtrip,
         "q39_audio_roundtrip": dq.q39_audio_roundtrip,
         "q40_video_roundtrip": dq.q40_video_roundtrip,
+        "q41_phash_neardup": dq.q41_phash_neardup,
         "flagship_correlator": flagship_correlator,
     }
 

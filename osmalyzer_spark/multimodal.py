@@ -249,3 +249,146 @@ def extract_audio_features(
             "zero_cross_per_s double"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual hash (pHash) — the image analog of simhash: a 64-bit
+# fingerprint whose hamming distance tracks VISUAL similarity, so the
+# banded-LSH machinery (operators/dedup.py simhash_near_pairs) gives
+# image near-dup at corpus scale without any all-pairs comparison.
+# Standard construction (public pHash algorithm): luma -> area-resample
+# to 32x32 -> 2D DCT-II -> top-left 8x8 low-frequency block -> each of
+# the 63 AC coefficients contributes sign(coef - median(ACs)) as one
+# bit. Dropping the DC term makes the hash EXACTLY invariant to global
+# brightness shifts (a constant image has zero AC energy), which the
+# q41 driver gate exploits as an analytic oracle.
+# Everything is numpy over whole Arrow batches; per-image work is two
+# 32x32 matmuls.
+# --------------------------------------------------------------------------
+
+_PHASH_N = 32  # resample target
+_PHASH_K = 8   # low-frequency block
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (rows = frequencies)."""
+    k = np.arange(n)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * np.sqrt(2.0 / n)
+
+
+_PHASH_DCT = _dct_matrix(_PHASH_N)
+
+
+def _integral_sample(ii: np.ndarray, ys: np.ndarray, xs: np.ndarray) -> np.ndarray:
+    """Bilinear sample of the integral image at fractional coords.
+
+    The 2D integral function of a piecewise-constant (pixel) image is
+    bilinear inside every cell, so this is EXACT — no resampling
+    approximation anywhere in the hash."""
+    h = ii.shape[0] - 1
+    w = ii.shape[1] - 1
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    fy = (ys - y0)[:, None]
+    fx = (xs - x0)[None, :]
+    return (
+        ii[np.ix_(y0, x0)] * (1 - fy) * (1 - fx)
+        + ii[np.ix_(y0 + 1, x0)] * fy * (1 - fx)
+        + ii[np.ix_(y0, x0 + 1)] * (1 - fy) * fx
+        + ii[np.ix_(y0 + 1, x0 + 1)] * fy * fx
+    )
+
+
+def _area_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact box-filter resample to (out_h, out_w) for ANY input size
+    (up- or down-scale): each output cell is the mean of the image over
+    its fractional-pixel rectangle, computed from the integral image.
+    Reduces to the plain block mean when dimensions divide evenly."""
+    h, w = gray.shape
+    ii = np.zeros((h + 1, w + 1))
+    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    ys = np.linspace(0.0, float(h), out_h + 1)
+    xs = np.linspace(0.0, float(w), out_w + 1)
+    s = _integral_sample(ii, ys, xs)
+    box = s[1:, 1:] + s[:-1, :-1] - s[1:, :-1] - s[:-1, 1:]
+    area = np.diff(ys)[:, None] * np.diff(xs)[None, :]
+    return box / area
+
+
+def phash64_batch(pixs: list) -> np.ndarray:
+    """64-bit perceptual hashes for a batch of (h, w, 3) uint8 images.
+
+    Returns int64 array (63 payload bits, top bit 0). Exactly invariant
+    to global brightness shift (no clipping), deterministic, and
+    independent of input resolution."""
+    if not pixs:
+        return np.zeros(0, dtype=np.int64)
+    # luma with INTEGER weights (BT.601 x1000): a +b global brightness
+    # shift moves every luma sample by exactly 1000*b (the weights sum
+    # to an exact float), so the shift reaches the DCT as a pure DC
+    # perturbation plus fp crumbs ~1e-6
+    lumas = np.stack(
+        [
+            _area_resize(
+                px.astype(np.float64) @ np.array([299.0, 587.0, 114.0]),
+                _PHASH_N,
+                _PHASH_N,
+            )
+            for px in pixs
+        ]
+    )
+    # batched 2D DCT-II: C = D @ L @ D^T
+    coefs = _PHASH_DCT[None] @ lumas @ _PHASH_DCT.T[None]
+    low = coefs[:, :_PHASH_K, :_PHASH_K].reshape(len(pixs), -1)[:, 1:]  # drop DC
+    # round to an integer grid before the sign comparison: coefficient
+    # magnitudes are O(1e5..1e8) at this luma scale, so the grid costs
+    # nothing discriminative, while fp-rounding perturbations (~1e-6,
+    # incl. those of a brightness shift) can no longer flip a bit via
+    # an exact tie with the median element
+    low = np.rint(low)
+    med = np.median(low, axis=1, keepdims=True)
+    bits = (low > med).astype(np.uint64)
+    shifts = np.arange(low.shape[1] - 1, -1, -1, dtype=np.uint64)
+    return (bits << shifts).sum(axis=1).astype(np.int64)
+
+
+def phash_images(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    fmt_col: str = "fmt",
+    out_col: str = "phash64",
+) -> DataFrame:
+    """Append an int64 pHash column computed from the DECODED pixels
+    (whole-Arrow-batch decode, pooled JPEG entropy lanes)."""
+
+    @F.pandas_udf(T.LongType())
+    def _ph(data: pd.Series, fmt: pd.Series) -> pd.Series:
+        pixs = decode_images_batch(list(data), list(fmt))
+        return pd.Series(phash64_batch(pixs))
+
+    return df.withColumn(out_col, _ph(F.col(bytes_col), F.col(fmt_col)))
+
+
+def phash_near_pairs(
+    fps: DataFrame,
+    id_col: str = "image_id",
+    phash_col: str = "phash64",
+    max_hamming: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """COMPLETE set of image pairs with hamming(pHash) <= max_hamming —
+    visual near-duplicate candidates at corpus scale.
+
+    Delegates to the banded-LSH fingerprint join
+    (operators/dedup.py simhash_near_pairs): band buckets bound the
+    candidate set, pigeonhole (bands >= max_hamming + 1) guarantees
+    recall, verification is native bit_count. Output:
+    (id_a, id_b, hamming)."""
+    from osmalyzer_spark.operators.dedup import simhash_near_pairs
+
+    renamed = fps.select(
+        F.col(id_col).alias("id"), F.col(phash_col).alias("simhash")
+    )
+    return simhash_near_pairs(renamed, max_hamming=max_hamming, bands=bands)

@@ -2435,6 +2435,140 @@ def q40_video_roundtrip(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# q41 — pHash image near-dup, hash-gated (round 5). The image analog of
+# q21/q22: a REAL perceptual hash (multimodal.phash64_batch: luma ->
+# exact area resample -> 2D DCT -> 63 AC sign bits) computed from
+# decoded PNG payloads, then banded hamming-LSH candidate join
+# (pigeonhole-complete) + native bit_count verify. Per customer the
+# query synthesizes THREE images: a base, a +10 global-brightness copy
+# (NO clipping by construction: channel values < 246), and a visually
+# unrelated high-frequency pattern. The oracle is analytic: dropping
+# the DC coefficient makes pHash EXACTLY brightness-invariant, so each
+# customer yields exactly ONE near-dup pair (base, bright) at hamming
+# 0, the unrelated image never pairs, and the q95-JPEG re-encode of the
+# base stays within the stability threshold. Any defect in the PNG or
+# JPEG codec, the resampler, the DCT, the band join, or bit_count
+# breaks rows/hash. Reference analog: the same dedup discipline as the
+# reference's element-identity merging (Core/Correlator.cs), applied to
+# the image payload axis of the graft's input_hint.
+# --------------------------------------------------------------------------
+
+_Q41_SIDE = 64
+_Q41_LIMIT = 120  # c_custkey < 120: present at every sf, bounded wall
+_Q41_MAXHAM = 6
+_Q41_JPEG_HAM = 8
+
+
+def q41_phash_neardup(spark, sf_dir):
+    """Image near-dup: decode -> pHash -> banded hamming LSH -> verify,
+    reduced to per-customer analytic invariants (see block comment)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from osmalyzer_spark.multimodal import phash_images, phash_near_pairs
+
+    side = _Q41_SIDE
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < _Q41_LIMIT)
+        .select("c_custkey")
+        .repartition(16)
+    )
+
+    def make_images(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osmalyzer_spark.datagen.png import png_encode
+
+        tiles = side // 8
+        for pdf in batches:
+            out = []
+            for k in pdf["c_custkey"]:
+                k = int(k)
+                # per-customer seeded rng: every image is an INDEPENDENT
+                # random 8x8-tile mosaic (strong, distinct low-frequency
+                # content — affine-in-k tile formulas were tried first
+                # and defeated by pHash itself: two customers whose
+                # pattern offsets nearly coincide mod the value range
+                # differ by ~a global brightness shift, which the hash
+                # is built to collapse). Channel range [0, 245] so the
+                # +10 brightness copy never clips (exact AC invariance).
+                rng = np.random.default_rng(900_000 + k)
+                base = (
+                    rng.integers(0, 246, size=(tiles, tiles, 3), dtype=np.uint8)
+                    .repeat(8, axis=0)
+                    .repeat(8, axis=1)
+                )
+                # the unrelated image must also differ in LOW-frequency
+                # content (pHash correctly collapses pure high-frequency
+                # textures — they all resample to the same 32x32 mush):
+                # a second independent mosaic from the same stream
+                other = (
+                    rng.integers(0, 246, size=(tiles, tiles, 3), dtype=np.uint8)
+                    .repeat(8, axis=0)
+                    .repeat(8, axis=1)
+                )
+                out.append((3 * k, k, bytearray(png_encode(base)), "png"))
+                out.append(
+                    (
+                        3 * k + 1,
+                        k,
+                        bytearray(png_encode(base + np.uint8(10))),
+                        "png",
+                    )
+                )
+                out.append((3 * k + 2, k, bytearray(png_encode(other)), "png"))
+            yield pd.DataFrame(
+                out, columns=["img_id", "c_custkey", "bytes", "fmt"]
+            )
+
+    imgs = cust.mapInPandas(
+        make_images, schema="img_id long, c_custkey long, bytes binary, fmt string"
+    )
+    ph = phash_images(imgs).select("img_id", "phash64")
+    pairs = phash_near_pairs(
+        ph.withColumnRenamed("img_id", "image_id"),
+        max_hamming=_Q41_MAXHAM,
+        bands=_Q41_MAXHAM + 2,
+    )
+    per_cust = (
+        pairs.withColumn("c_custkey", F.expr("id_a DIV 3"))
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.max("hamming").cast("int").alias("pair_hamming"),
+            F.min(
+                (F.col("id_b") == F.col("id_a") + 1)
+                & (F.col("id_a") % 3 == 0)
+            ).alias("pair_adjacent"),
+        )
+    )
+
+    def jpeg_stability(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from osmalyzer_spark.datagen.jpeg import jpeg_decode, jpeg_encode
+        from osmalyzer_spark.datagen.png import decode_image
+        from osmalyzer_spark.multimodal import phash64_batch
+
+        for pdf in batches:
+            out = []
+            for k, blob in zip(pdf["c_custkey"], pdf["bytes"]):
+                px = decode_image(bytes(blob), "png")
+                rt = jpeg_decode(jpeg_encode(px, quality=95))
+                h0, h1 = phash64_batch([px, rt])
+                ham = bin(int(h0) ^ int(h1)).count("1")
+                out.append((int(k), bool(ham <= _Q41_JPEG_HAM)))
+            yield pd.DataFrame(out, columns=["c_custkey", "jpeg_stable"])
+
+    stab = imgs.filter(F.col("img_id") % 3 == 0).mapInPandas(
+        jpeg_stability, schema="c_custkey long, jpeg_stable boolean"
+    )
+    return per_cust.join(stab, "c_custkey").select(
+        "c_custkey", "n_pairs", "pair_hamming", "pair_adjacent", "jpeg_stable"
+    )
+
+
 _ORACLES["q40_video_roundtrip"] = f"""
     SELECT c_custkey,
            {_Q40_NF} AS n_frames,
@@ -2465,6 +2599,21 @@ _ORACLES["q38_image_roundtrip"] = f"""
       true AS jpeg_ok
     FROM cust c CROSS JOIN grid g
     GROUP BY c.c_custkey
+"""
+
+
+# Fully analytic: brightness-shift AC invariance pins (n_pairs,
+# pair_hamming) exactly; the unrelated image and the JPEG stability
+# flag are deterministic invariants of the same fixed construction
+# (q38 jpeg_ok discipline — the oracle encodes the EXPECTED invariant,
+# Spark computes it with the real codecs + hash + LSH join).
+_ORACLES["q41_phash_neardup"] = f"""
+    SELECT c_custkey,
+           CAST(1 AS BIGINT) AS n_pairs,
+           CAST(0 AS INT) AS pair_hamming,
+           true AS pair_adjacent,
+           true AS jpeg_stable
+    FROM customer WHERE c_custkey < {_Q41_LIMIT}
 """
 
 
@@ -2510,6 +2659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_image_roundtrip": q38_image_roundtrip,
         "q39_audio_roundtrip": q39_audio_roundtrip,
         "q40_video_roundtrip": q40_video_roundtrip,
+        "q41_phash_neardup": q41_phash_neardup,
     }
 
 

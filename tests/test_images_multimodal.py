@@ -165,3 +165,88 @@ def test_audio_features_rawa(spark):
     assert r["rms"] == pytest.approx(amp / math.sqrt(2), rel=0.01)
     assert r["zero_cross_per_s"] == pytest.approx(2 * freq, rel=0.01)
     assert r["peak"] == pytest.approx(amp, rel=0.01)
+
+
+# ---------------------------------------------------------------- pHash
+
+
+def test_phash_brightness_invariance_and_determinism():
+    from osmalyzer_spark.multimodal import phash64_batch
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 240, size=(48, 40, 3), dtype=np.uint8)
+    h1 = phash64_batch([px])[0]
+    h2 = phash64_batch([px + np.uint8(12)])[0]  # no clipping (<252)
+    h3 = phash64_batch([px])[0]
+    assert h1 == h2 == h3
+    assert 0 <= int(h1) < 2**63
+
+
+def test_phash_area_resize_exact_block_mean_and_upscale():
+    from osmalyzer_spark.multimodal import _area_resize
+
+    rng = np.random.default_rng(3)
+    g = rng.random((64, 64))
+    assert np.allclose(
+        _area_resize(g, 32, 32), g.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+    )
+    # ragged downscale preserves the global mean exactly
+    g2 = rng.random((37, 53))
+    assert abs(_area_resize(g2, 32, 32).mean() - g2.mean()) < 1e-9
+    # upscale of a constant image is constant (substrate images are 8-33px)
+    assert np.allclose(_area_resize(np.full((9, 13), 5.0), 32, 32), 5.0)
+
+
+def test_phash_separates_unrelated_tolerates_tiny_noise():
+    from osmalyzer_spark.multimodal import phash64_batch
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 240, size=(48, 48, 3), dtype=np.uint8)
+    b = rng.integers(0, 240, size=(48, 48, 3), dtype=np.uint8)
+    ha, hb = (int(x) for x in phash64_batch([a, b]))
+    assert bin(ha ^ hb).count("1") > 16
+    c = a.astype(np.int16)
+    c[::7, ::5] += 1  # sparse +-1 perturbation
+    hc = int(phash64_batch([c.clip(0, 255).astype(np.uint8)])[0])
+    assert bin(ha ^ hc).count("1") <= 4
+
+
+def test_phash_batch_matches_single():
+    from osmalyzer_spark.multimodal import phash64_batch
+
+    rng = np.random.default_rng(5)
+    pixs = [
+        rng.integers(0, 256, size=(int(h), int(w), 3), dtype=np.uint8)
+        for h, w in rng.integers(8, 64, size=(6, 2))
+    ]
+    batch = phash64_batch(pixs)
+    singles = np.array([phash64_batch([p])[0] for p in pixs])
+    assert (batch == singles).all()
+
+
+def test_phash_images_and_near_pairs_spark(spark):
+    from osmalyzer_spark.datagen.png import png_encode
+    from osmalyzer_spark.multimodal import (
+        phash64_batch,
+        phash_images,
+        phash_near_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 240, size=(32, 32, 3), dtype=np.uint8)
+    other = rng.integers(0, 240, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        ("a", bytearray(png_encode(base)), "png"),
+        ("b", bytearray(png_encode(base + np.uint8(9))), "png"),
+        ("c", bytearray(png_encode(other)), "png"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    ph = phash_images(df)
+    got = {r["image_id"]: r["phash64"] for r in ph.collect()}
+    # Spark column agrees with the local batch function
+    assert got["a"] == int(phash64_batch([base])[0])
+    assert got["a"] == got["b"] != got["c"]
+    pairs = phash_near_pairs(
+        ph.select("image_id", "phash64"), max_hamming=6, bands=8
+    ).collect()
+    assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [("a", "b", 0)]
