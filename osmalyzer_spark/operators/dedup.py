@@ -363,8 +363,38 @@ def ngram_jaccard_pairs(
     )
 
 
+def _local_components(pdf: "pd.DataFrame"):
+    """Driver-local CC over an edge frame (columns a, b): numpy
+    scatter-min + pointer jumping, O(log n) passes. Returns (nodes,
+    min-label component per node) with nodes in sorted order, so labels
+    are EXACTLY the distributed star path's (min id per component, with
+    F.least's lexicographic order for strings reproduced by the sorted
+    factorization)."""
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["a"], pdf["b"]], ignore_index=True), sort=True
+    )
+    m = len(pdf)
+    ia, ib = codes[:m], codes[m:]
+    label = np.arange(len(uniques), dtype=np.int64)
+    while True:
+        prev = label.copy()
+        np.minimum.at(label, ia, label[ib])
+        np.minimum.at(label, ib, label[ia])
+        while True:
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(label, prev):
+            break
+    return np.asarray(uniques), label
+
+
 def connected_components_star(
-    pairs: DataFrame, max_iter: int = 50, with_rounds: bool = False
+    pairs: DataFrame,
+    max_iter: int = 50,
+    with_rounds: bool = False,
+    local_edge_threshold: int = 2_000_000,
 ):
     """Connected components via alternating large-star / small-star
     (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
@@ -383,6 +413,18 @@ def connected_components_star(
 
     Output matches connected_components_greedy exactly: (id, component =
     min id of the component); optionally ((id, component), rounds).
+
+    Small-graph fast path: when the DEDUPLICATED edge count is at most
+    `local_edge_threshold` (a driver-memory bound — ~32 MB of int64
+    edges at the default, independent of cluster size, the same
+    discipline as a broadcast-join threshold), the component solve runs
+    at the driver (numpy scatter-min + pointer jumping) instead of
+    paying O(log n) rounds of shuffle latency; the candidate graph
+    after dead-pair pruning is typically orders of magnitude smaller
+    than the input, so this triggers exactly when round latency — not
+    data volume — dominates. Labels are identical to the distributed
+    path's; rounds reports 0. Pass local_edge_threshold=0 to force the
+    distributed star rounds (tests of the scale path do).
     """
     spark = pairs.sparkSession
     e = (
@@ -399,6 +441,21 @@ def connected_components_star(
     # item 4 measured 2->8 anti-scaling); a data-proportional constant
     # keeps every round's plan identical at N and 4N executors.
     n_edges = e.count()
+    if n_edges <= local_edge_threshold:
+        pdf = e.toPandas()
+        nodes, label = _local_components(pdf)
+        out_pdf = pd.DataFrame({"id": nodes, "component": nodes[label]})
+        id_type = e.schema["a"].dataType
+        out = spark.createDataFrame(
+            out_pdf,
+            schema=T.StructType(
+                [
+                    T.StructField("id", id_type),
+                    T.StructField("component", id_type),
+                ]
+            ),
+        )
+        return (out, 0) if with_rounds else out
     cc_parts = max(4, min(4096, -(-n_edges // 250_000)))
     e = e.coalesce(cc_parts)
     orig_sp = spark.conf.get("spark.sql.shuffle.partitions")

@@ -396,8 +396,12 @@ def test_star_cc_matches_greedy_on_random_graphs(spark):
         greedy = {(r["id"], r["component"])
                   for r in connected_components_greedy(df, max_iter=64).collect()}
         star = {(r["id"], r["component"])
-                for r in connected_components_star(df).collect()}
-        assert star == greedy, f"trial {trial}"
+                for r in connected_components_star(
+                    df, local_edge_threshold=0).collect()}
+        assert star == greedy, f"trial {trial} (distributed)"
+        local = {(r["id"], r["component"])
+                 for r in connected_components_star(df).collect()}
+        assert local == greedy, f"trial {trial} (driver-local fast path)"
 
 
 def test_star_cc_long_chain_logarithmic_rounds(spark):
@@ -415,7 +419,43 @@ def test_star_cc_long_chain_logarithmic_rounds(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components_greedy(chain, max_iter=20)
-    labels, rounds = connected_components_star(chain, with_rounds=True)
+    labels, rounds = connected_components_star(
+        chain, with_rounds=True, local_edge_threshold=0
+    )
     assert rounds <= 12, rounds
     got = {(r["id"], r["component"]) for r in labels.collect()}
     assert got == {(i, 0) for i in range(200)}
+
+
+def test_star_cc_local_fast_path_chain_and_strings(spark):
+    """Driver-local CC path: pointer-jumping converges on a long chain,
+    and string ids canonicalize to the lexicographic min exactly like
+    the distributed path's F.least."""
+    from osmalyzer_spark.operators.dedup import connected_components_star
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_star(chain).collect()
+    }
+    assert got == {(i, 0) for i in range(200)}
+
+    s = spark.createDataFrame(
+        [("b", "ab"), ("ab", "z"), ("q", "zz")], "id_a string, id_b string"
+    )
+    got = {
+        (r["id"], r["component"])
+        for r in connected_components_star(s).collect()
+    }
+    assert got == {
+        ("ab", "ab"), ("b", "ab"), ("z", "ab"), ("q", "q"), ("zz", "q")
+    }
+
+
+def test_star_cc_local_empty_edges(spark):
+    from osmalyzer_spark.operators.dedup import connected_components_star
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components_star(empty).count() == 0

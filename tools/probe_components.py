@@ -57,7 +57,7 @@ def main() -> None:
         from osmalyzer_spark.operators.dedup import connected_components_star
 
         labels, rounds = connected_components_star(
-            pairs, max_iter=64, with_rounds=True
+            pairs, max_iter=64, with_rounds=True, local_edge_threshold=0
         )
     else:
         labels, rounds = connected_components_greedy(
