@@ -2617,6 +2617,424 @@ _ORACLES["q41_phash_neardup"] = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# q42-q45 — Validation analyzer group (plans/validators.py)
+#
+# Shared-node topology validators: BarrierConnectionAnalyzer (q42),
+# BridgeAndWaterConnectionAnalyzer (q43), CrossingConsistencyAnalyzer
+# (q44), TerminatingWaysAnalyzer (q45). The way table is built from
+# lineitem: way id = l_orderkey, membership = distinct (orderkey,
+# partkey) pairs ordered by first linenumber, so ways genuinely share
+# nodes (partkeys repeat across orders). Tag values are modulo CASEs
+# over the way/node id with text valid in BOTH Spark SQL and DuckDB;
+# the Spark side assembles REAL (id, tags map, node_ids array) rows and
+# runs the native validators, the oracle works the flat membership
+# relation directly.
+# --------------------------------------------------------------------------
+
+
+def _case_mod(key: str, mod: int, mapping: dict[int, str]) -> str:
+    whens = " ".join(f"WHEN {r} THEN '{v}'" for r, v in mapping.items())
+    return f"CASE (({key}) % {mod}) {whens} END"
+
+
+# way id % 3 == 0 -> barrier way (5 of the 12 values are passable)
+_VAL_BARRIER = lambda k: _case_mod(  # noqa: E731
+    k,
+    36,
+    {
+        0: "fence", 3: "wall", 6: "hedge", 9: "gate", 12: "lift_gate",
+        15: "chain", 18: "retaining_wall", 21: "guard_rail",
+        24: "wicket_gate", 27: "cattle_grid", 30: "kerb", 33: "handrail",
+    },
+)
+# way id % 3 == 1 -> highway way; area=yes iff id%7==0; closed iff id%5==0
+_VAL_HIGHWAY = lambda k: _case_mod(  # noqa: E731
+    k,
+    21,
+    {
+        1: "residential", 4: "footway", 7: "service", 10: "platform",
+        13: "path", 16: "track", 19: "primary",
+    },
+)
+# way id % 6 == 2 -> bridge way; id % 6 == 5 -> waterway way
+_VAL_BRIDGE = lambda k: _case_mod(k, 12, {2: "yes", 8: "viaduct"})  # noqa: E731
+_VAL_WATERWAY = lambda k: _case_mod(  # noqa: E731
+    k, 30, {5: "stream", 11: "river", 17: "ditch", 23: "dam", 29: "canal"}
+)
+
+_VAL_MEM_SQL = "SELECT DISTINCT l_orderkey AS way_id, l_partkey AS node_id FROM lineitem"
+
+
+def _val_mem(spark, sf_dir, pred=None) -> DataFrame:
+    """(id, node_ids) ways from lineitem membership: distinct parts per
+    order, ordered by first linenumber (order matters for endpoints)."""
+    li = _t(spark, sf_dir, "lineitem")
+    if pred is not None:
+        li = li.filter(pred)
+    mem = li.groupBy(
+        F.col("l_orderkey").alias("id"), F.col("l_partkey").alias("node_id")
+    ).agg(F.min("l_linenumber").alias("pos"))
+    return mem.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "node_id"))),
+            lambda s: s["node_id"],
+        ).alias("node_ids")
+    )
+
+
+def _tag_entries(*pairs) -> F.Column:
+    """(key, value Column) pairs -> tags map, null values dropped."""
+    return F.map_from_entries(
+        F.filter(
+            F.array(
+                *[
+                    F.struct(F.lit(k).alias("key"), v.alias("value"))
+                    for k, v in pairs
+                ]
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+
+
+def _val_ways(spark, sf_dir) -> DataFrame:
+    w = _val_mem(spark, sf_dir)
+    # highway ways with id%5==0 are drawn closed: repeat the first node
+    w = w.withColumn(
+        "node_ids",
+        F.when(
+            (F.col("id") % 3 == 1) & (F.col("id") % 5 == 0),
+            F.concat("node_ids", F.slice("node_ids", 1, 1)),
+        ).otherwise(F.col("node_ids")),
+    )
+    i = F.col("id")
+    tags = _tag_entries(
+        ("barrier", F.when(i % 3 == 0, F.expr(_VAL_BARRIER("id")))),
+        ("highway", F.when(i % 3 == 1, F.expr(_VAL_HIGHWAY("id")))),
+        ("area", F.when((i % 3 == 1) & (i % 7 == 0), F.lit("yes"))),
+        ("bridge", F.when(i % 6 == 2, F.expr(_VAL_BRIDGE("id")))),
+        ("waterway", F.when(i % 6 == 5, F.expr(_VAL_WATERWAY("id")))),
+    )
+    return w.select("id", tags.alias("tags"), "node_ids")
+
+
+def _val_nodes(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    return p.select(
+        i.alias("id"),
+        _tag_entries(("barrier", F.when(i % 11 == 0, F.lit("gate")))).alias("tags"),
+        F.expr(synth_lat_sql("p_partkey")).alias("lat"),
+        F.expr(synth_lon_sql("p_partkey")).alias("lon"),
+    )
+
+
+def q42_barrier_connections(spark, sf_dir):
+    """BarrierConnectionAnalyzer: non-passable barrier ways sharing a
+    non-gate node with a routable (non-area, non-closed-platform)
+    highway way — one shuffle on node_id after tag filters."""
+    from osmalyzer_spark.plans.validators import barrier_connections
+
+    return barrier_connections(_val_ways(spark, sf_dir), _val_nodes(spark, sf_dir))
+
+
+_ORACLES["q42_barrier_connections"] = f"""
+    WITH mem AS ({_VAL_MEM_SQL}),
+    dw AS (SELECT DISTINCT way_id FROM mem),
+    bar AS (
+        SELECT way_id, {_VAL_BARRIER("way_id")} AS barrier_value
+        FROM dw WHERE way_id % 3 = 0
+          AND {_VAL_BARRIER("way_id")} NOT IN
+              ('gate','lift_gate','chain','wicket_gate','cattle_grid')
+    ),
+    hw AS (
+        SELECT way_id, {_VAL_HIGHWAY("way_id")} AS highway_value
+        FROM dw WHERE way_id % 3 = 1
+          AND way_id % 7 <> 0
+          AND NOT ({_VAL_HIGHWAY("way_id")} = 'platform' AND way_id % 5 = 0)
+    )
+    SELECT m1.node_id AS node_id, b.way_id AS barrier_id, b.barrier_value,
+           h.way_id AS highway_id, h.highway_value
+    FROM bar b
+    JOIN mem m1 ON m1.way_id = b.way_id
+    JOIN mem m2 ON m2.node_id = m1.node_id
+    JOIN hw h ON h.way_id = m2.way_id AND h.way_id <> b.way_id
+    WHERE m1.node_id % 11 <> 0
+"""
+
+
+def q43_bridge_water(spark, sf_dir):
+    """BridgeAndWaterConnectionAnalyzer: bridge ways sharing nodes with
+    non-dam waterways, grouped with count + average connection coord."""
+    from osmalyzer_spark.plans.validators import bridge_water_connections
+
+    out = bridge_water_connections(_val_ways(spark, sf_dir), _val_nodes(spark, sf_dir))
+    # round(4): avg() is float-summation-order dependent (q14 discipline)
+    return out.select(
+        "bridge_id",
+        "waterway_id",
+        "n_points",
+        F.round("avg_lat", 4).alias("avg_lat"),
+        F.round("avg_lon", 4).alias("avg_lon"),
+    )
+
+
+_ORACLES["q43_bridge_water"] = f"""
+    WITH mem AS ({_VAL_MEM_SQL}),
+    dw AS (SELECT DISTINCT way_id FROM mem),
+    br AS (SELECT way_id FROM dw WHERE way_id % 6 = 2),
+    wt AS (SELECT way_id FROM dw WHERE way_id % 6 = 5
+           AND {_VAL_WATERWAY("way_id")} <> 'dam')
+    SELECT b.way_id AS bridge_id, w.way_id AS waterway_id,
+           COUNT(*) AS n_points,
+           round(avg({synth_lat_sql("m1.node_id")}), 4) AS avg_lat,
+           round(avg({synth_lon_sql("m1.node_id")}), 4) AS avg_lon
+    FROM br b
+    JOIN mem m1 ON m1.way_id = b.way_id
+    JOIN mem m2 ON m2.node_id = m1.node_id
+    JOIN wt w ON w.way_id = m2.way_id
+    GROUP BY 1, 2
+"""
+
+
+# q44 fixture: crossing ways are odd ids (path if id%4==1 else footway),
+# footway=crossing unless id%3==0; crossing nodes are node_id%3==0.
+# Per-tag value CASEs keep way residues odd and node residues ≡0 (mod 3)
+# so every branch is reachable; semicolon lists exercise ValuesMatch.
+_Q44_WAY_TAGS: dict[str, tuple[int, dict[int, str]]] = {
+    "crossing": (8, {1: "marked", 3: "traffic_signals", 5: "uncontrolled"}),
+    "crossing:markings": (16, {1: "zebra;dots", 3: "zebra", 5: "dots; zebra", 7: "lines"}),
+    "crossing:island": (14, {1: "yes"}),
+    "tactile_paving": (6, {1: "no", 3: "yes"}),
+    "lit": (10, {1: "yes", 3: "yes", 5: "no"}),
+    "button_operated": (12, {1: "yes", 7: "no"}),
+    "traffic_signals:sound": (18, {1: "yes", 3: "no"}),
+    "traffic_signals:vibration": (20, {1: "yes"}),
+    "traffic_calming": (22, {1: "table"}),
+}
+_Q44_NODE_TAGS: dict[str, tuple[int, dict[int, str]]] = {
+    "crossing": (9, {0: "traffic_signals", 3: "uncontrolled"}),
+    "crossing:markings": (27, {0: "dots;zebra", 3: "zebra", 6: "zebra ; dots", 9: "surface"}),
+    "crossing:island": (21, {0: "no", 3: "yes"}),
+    "tactile_paving": (12, {0: "yes", 3: "incorrect", 6: "no"}),
+    "lit": (6, {0: "yes", 3: "no"}),
+    "button_operated": (15, {0: "no", 3: "yes"}),
+    "traffic_signals:sound": (18, {0: "yes", 3: "no", 6: "locally"}),
+    "traffic_signals:vibration": (24, {0: "no"}),
+    "traffic_calming": (30, {0: "table", 3: "hump"}),
+}
+
+
+def _q44_ways(spark, sf_dir) -> DataFrame:
+    w = _val_mem(spark, sf_dir)
+    i = F.col("id")
+    tags = _tag_entries(
+        (
+            "highway",
+            F.when(i % 2 == 1, F.when(i % 4 == 1, F.lit("path")).otherwise(F.lit("footway"))),
+        ),
+        ("footway", F.when((i % 2 == 1) & (i % 3 != 0), F.lit("crossing"))),
+        *[
+            (tag, F.when(i % 2 == 1, F.expr(_case_mod("id", mod, vals))))
+            for tag, (mod, vals) in _Q44_WAY_TAGS.items()
+        ],
+    )
+    return w.select("id", tags.alias("tags"), "node_ids")
+
+
+def _q44_nodes(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    tags = _tag_entries(
+        ("highway", F.when(i % 3 == 0, F.lit("crossing"))),
+        *[
+            (tag, F.when(i % 3 == 0, F.expr(_case_mod("p_partkey", mod, vals))))
+            for tag, (mod, vals) in _Q44_NODE_TAGS.items()
+        ],
+    )
+    return p.select(i.alias("id"), tags.alias("tags"))
+
+
+def q44_crossing_consistency(spark, sf_dir):
+    """CrossingConsistencyAnalyzer: footway-crossing ways with exactly
+    one highway=crossing node; per-tag TagUtils.ValuesMatch comparison
+    with the tactile_paving allowance and marked/traffic_signals
+    'common' severity."""
+    from osmalyzer_spark.plans.validators import crossing_consistency
+
+    return crossing_consistency(_q44_ways(spark, sf_dir), _q44_nodes(spark, sf_dir))
+
+
+def _vm_sql(a: str, b: str) -> str:
+    """TagUtils.ValuesMatch in DuckDB (mirrors tags.values_equal_unordered)."""
+
+    def norm(x: str) -> str:
+        return (
+            f"list_sort(list_distinct(list_filter("
+            f"list_transform(string_split({x}, ';'), t -> trim(t)), t -> t <> '')))"
+        )
+
+    return (
+        f"(trim({a}) = trim({b}) OR (contains({a}, ';') AND contains({b}, ';')"
+        f" AND {norm(a)} = {norm(b)}))"
+    )
+
+
+def _q44_oracle_sql() -> str:
+    # reference tag list order, with button_operated genuinely twice
+    from osmalyzer_spark.plans.validators import CROSSING_TAGS
+
+    arms = []
+    for tag in CROSSING_TAGS:
+        wmod, wvals = _Q44_WAY_TAGS[tag]
+        nmod, nvals = _Q44_NODE_TAGS[tag]
+        wv = _case_mod("way_id", wmod, wvals)
+        nv = _case_mod("node_id", nmod, nvals)
+        allowed = ""
+        if tag == "tactile_paving":
+            allowed = f" AND NOT ({wv} = 'no' AND {nv} IN ('yes','incorrect'))"
+        arms.append(
+            f"SELECT way_id, node_id, '{tag}' AS tag, {wv} AS way_value,"
+            f" {nv} AS node_value FROM pairs"
+            f" WHERE {wv} IS NOT NULL AND {nv} IS NOT NULL"
+            f" AND NOT {_vm_sql(wv, nv)}{allowed}"
+        )
+    union = "\n        UNION ALL ".join(arms)
+    return f"""
+    WITH mem AS ({_VAL_MEM_SQL}),
+    cw AS (SELECT DISTINCT way_id FROM mem WHERE way_id % 2 = 1 AND way_id % 3 <> 0),
+    matched AS (
+        SELECT m.way_id, m.node_id FROM mem m JOIN cw USING (way_id)
+        WHERE m.node_id % 3 = 0
+    ),
+    pairs AS (
+        SELECT way_id, MIN(node_id) AS node_id FROM matched
+        GROUP BY way_id HAVING COUNT(*) = 1
+    ),
+    iss AS (
+        {union}
+    ),
+    cnt AS (SELECT way_id, node_id, COUNT(*) AS c FROM iss GROUP BY 1, 2)
+    SELECT i.way_id, i.node_id, i.tag, i.way_value, i.node_value,
+           CASE WHEN c.c > 1 THEN 'bad'
+                WHEN i.tag = 'crossing' AND i.way_value = 'marked'
+                     AND i.node_value = 'traffic_signals' THEN 'common'
+                ELSE 'bad' END AS severity
+    FROM iss i JOIN cnt c USING (way_id, node_id)
+"""
+
+
+_ORACLES["q44_crossing_consistency"] = _q44_oracle_sql()
+
+
+# q45 fixture: membership thinned to (orderkey+partkey)%8==0 so nodes
+# average ~4 ways (dead ends exist at all SFs — density is scale-free);
+# areas are id%25==0 (closed, kind by id%75: parking / square /
+# pedestrian+area=yes — the pedestrian ones are ROUTABLE and block their
+# own ring, as in the reference); other ways get highway by id%9 mixing
+# routable and non-routable values.
+_Q45_HIGHWAY = lambda k: _case_mod(  # noqa: E731
+    k,
+    9,
+    {
+        0: "residential", 1: "footway", 2: "proposed", 3: "path",
+        4: "service", 5: "raceway", 6: "track", 7: "cycleway",
+    },
+)
+_Q45_ROUTABLE = ("residential", "footway", "path", "service", "track", "cycleway")
+
+
+def _q45_ways(spark, sf_dir) -> DataFrame:
+    w = _val_mem(
+        spark, sf_dir, pred=(F.col("l_orderkey") + F.col("l_partkey")) % 8 == 0
+    )
+    i = F.col("id")
+    w = w.withColumn(
+        "node_ids",
+        F.when(
+            i % 25 == 0, F.concat("node_ids", F.slice("node_ids", 1, 1))
+        ).otherwise(F.col("node_ids")),
+    )
+    tags = _tag_entries(
+        ("amenity", F.when(i % 75 == 0, F.lit("parking"))),
+        ("place", F.when(i % 75 == 25, F.lit("square"))),
+        (
+            "highway",
+            F.when(i % 75 == 50, F.lit("pedestrian")).when(
+                i % 25 != 0, F.expr(_Q45_HIGHWAY("id"))
+            ),
+        ),
+        ("area", F.when(i % 75 == 50, F.lit("yes"))),
+    )
+    return w.select("id", tags.alias("tags"), "node_ids")
+
+
+def q45_terminating_ways(spark, sf_dir):
+    """TerminatingWaysAnalyzer: routable ways dead-ending on parking /
+    square / pedestrian area edge rings (exactly one terminating way at
+    the ring node, none passing through)."""
+    from osmalyzer_spark.plans.validators import terminating_ways
+
+    return terminating_ways(_q45_ways(spark, sf_dir))
+
+
+_ORACLES["q45_terminating_ways"] = f"""
+    WITH mem AS (
+        SELECT l_orderkey AS way_id, l_partkey AS node_id, MIN(l_linenumber) AS pos
+        FROM lineitem WHERE (l_orderkey + l_partkey) % 8 = 0 GROUP BY 1, 2
+    ),
+    dw AS (SELECT way_id, COUNT(*) AS n_nodes FROM mem GROUP BY 1),
+    areas AS (SELECT way_id AS area_id FROM dw WHERE way_id % 25 = 0),
+    routable AS (
+        SELECT way_id, n_nodes FROM dw
+        WHERE (way_id % 25 <> 0 AND {_Q45_HIGHWAY("way_id")} IN
+               ('residential','footway','path','service','track','cycleway'))
+           OR way_id % 75 = 50
+    ),
+    ends AS (
+        -- l_linenumber is NOT unique per order in this data: tie-break
+        -- by node_id, matching the Spark side's struct(pos, node_id) sort
+        SELECT way_id, first(node_id ORDER BY pos, node_id) AS first_node,
+               last(node_id ORDER BY pos, node_id) AS last_node
+        FROM mem GROUP BY 1
+    ),
+    inter AS (
+        SELECT am.way_id AS area_id, rm.way_id AS way_id, COUNT(*) AS n_inter
+        FROM mem am
+        JOIN mem rm ON rm.node_id = am.node_id
+        WHERE am.way_id IN (SELECT area_id FROM areas)
+          AND rm.way_id IN (SELECT way_id FROM routable)
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT a.area_id, rm.node_id, r.way_id,
+               -- closed ways (only areas here, way_id%25=0) never
+               -- terminate: the closing duplicate defeats both endpoint
+               -- rules (TerminatingWaysAnalyzer.cs:111-119)
+               CASE WHEN r.n_nodes < 2 THEN NULL
+                    WHEN (rm.node_id = e.first_node OR rm.node_id = e.last_node)
+                         AND i.n_inter = 1 AND r.way_id % 25 <> 0 THEN 'term'
+                    ELSE 'pass' END AS cls
+        FROM areas a
+        JOIN mem am ON am.way_id = a.area_id
+        JOIN mem rm ON rm.node_id = am.node_id
+        JOIN routable r ON r.way_id = rm.way_id
+        JOIN ends e ON e.way_id = r.way_id
+        JOIN inter i ON i.area_id = a.area_id AND i.way_id = r.way_id
+    ),
+    per_node AS (
+        SELECT area_id, node_id,
+               COUNT(*) FILTER (WHERE cls = 'term') AS n_term,
+               COUNT(*) FILTER (WHERE cls = 'pass') AS n_pass,
+               MIN(way_id) FILTER (WHERE cls = 'term') AS way_id
+        FROM cand GROUP BY 1, 2
+    )
+    SELECT area_id, node_id, way_id FROM per_node
+    WHERE n_term = 1 AND n_pass = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2660,6 +3078,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_audio_roundtrip": q39_audio_roundtrip,
         "q40_video_roundtrip": q40_video_roundtrip,
         "q41_phash_neardup": q41_phash_neardup,
+        "q42_barrier_connections": q42_barrier_connections,
+        "q43_bridge_water": q43_bridge_water,
+        "q44_crossing_consistency": q44_crossing_consistency,
+        "q45_terminating_ways": q45_terminating_ways,
     }
 
 

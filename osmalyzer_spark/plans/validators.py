@@ -1,0 +1,399 @@
+"""Topology / tag-consistency validators over the element graph
+(the reference's Validation analyzer group).
+
+Each validator is a shared-node membership join with tag-rule filters,
+expressed natively (no UDFs) so Catalyst prunes the payload columns and
+the only shuffle is the node-id equi-join:
+
+- barrier_connections (BarrierConnectionAnalyzer.cs:40-105): barrier
+  ways (minus the passable-value list) whose nodes also belong to a
+  routable highway way without a gate-like node tag.
+- bridge_water_connections (BridgeAndWaterConnectionAnalyzer.cs:43-99):
+  bridge ways sharing nodes with non-dam waterway ways, grouped per
+  (bridge, waterway) with the connection-point count and average coord
+  (OsmGeoTools.GetAverageCoord).
+- crossing_consistency (CrossingConsistencyAnalyzer.cs:62-132):
+  footway-crossing ways with EXACTLY one highway=crossing node; per-tag
+  value comparison under TagUtils.ValuesMatch with the tactile_paving
+  allowance and the marked-vs-traffic_signals "common" severity.
+- terminating_ways (TerminatingWaysAnalyzer.cs:52-135): routable ways
+  that dead-end on the edge ring of a parking / square / pedestrian
+  area instead of routing through it.
+
+All take the (id, tags, node_ids) way table and the (id, tags[, lat,
+lon]) node table; `datagen.views` / the driver queries synthesize these
+shapes, a real deployment points them at the Iceberg element tables.
+
+Scale notes: way↔node explode joins shuffle on node_id only after tag
+filters cut both sides (predicate pushdown to the scan); the area table
+in terminating_ways is a filtered dim (closed ways with three specific
+tags) and is broadcast with its ring array.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osmalyzer_spark.functions.tags import get_value, has_key, values_equal_unordered
+
+# BarrierConnectionAnalyzer.cs:49-61 — barrier values assumed passable.
+PASSABLE_BARRIERS = [
+    "gate",
+    "wicket_gate",
+    "lift_gate",
+    "swing_gate",
+    "sliding_gate",
+    "kissing_gate",
+    "entrance",
+    "cattle_grid",
+    "chain",
+    "sally_port",
+]
+
+# OsmKnowledge.cs:8-39 IsRoutableHighwayValue.
+ROUTABLE_HIGHWAY_VALUES = [
+    "motorway",
+    "trunk",
+    "primary",
+    "secondary",
+    "tertiary",
+    "unclassified",
+    "residential",
+    "motorway_link",
+    "trunk_link",
+    "primary_link",
+    "secondary_link",
+    "tertiary_link",
+    "living_street",
+    "service",
+    "pedestrian",
+    "track",
+    "footway",
+    "bridleway",
+    "steps",
+    "path",
+    "cycleway",
+    "crossing",
+    "bus_stop",
+    "platform",
+]
+
+# CrossingConsistencyAnalyzer.cs:70-82 — compared per crossing pair.
+# "button_operated" genuinely appears TWICE in the reference list; the
+# duplicate is preserved (a mismatch on it yields two issue rows there
+# and two rows here).
+CROSSING_TAGS = [
+    "crossing",
+    "crossing:markings",
+    "crossing:island",
+    "tactile_paving",
+    "lit",
+    "button_operated",
+    "traffic_signals:sound",
+    "traffic_signals:vibration",
+    "button_operated",
+    "traffic_calming",
+]
+
+
+# LifecycleLeftoversAnalyzer.cs:34-42 — suspicious lifecycle prefixes.
+LIFECYCLE_PREFIXES = [
+    "proposed",
+    "construction",
+    "planned",
+    "abandoned",
+    "disused",
+    "razed",
+]
+
+# StreetTaggingContinuityAnalyzer.cs:26-28 — street-forming highway values.
+STREET_HIGHWAY_VALUES = [
+    "trunk",
+    "primary",
+    "secondary",
+    "tertiary",
+    "unclassified",
+    "residential",
+    "living_street",
+    "service",
+    "track",
+    "trunk_link",
+    "primary_link",
+    "secondary_link",
+]
+
+# StreetTaggingContinuityAnalyzer.cs:55-63 — tags that must be uniform
+# along a street.
+STREET_CONSISTENT_TAGS = [
+    "name",
+    "name:etymology",
+    "name:etymology:wikipedia",
+    "name:etymology:wikidata",
+    "wikidata",
+    "wikipedia",
+]
+
+
+def _way_nodes(ways: DataFrame, way_col: str = "way_id") -> DataFrame:
+    """Distinct (way, node) membership pairs. The reference walks
+    way.Nodes occurrence-by-occurrence; set semantics match it exactly
+    for non-self-intersecting ways (the synthetic fixtures and the vast
+    majority of real ways), and collapse the duplicate report rows a
+    repeated node would emit."""
+    return ways.select(
+        F.col("id").alias(way_col), F.explode("node_ids").alias("node_id")
+    ).distinct()
+
+
+def _closed(ways: DataFrame) -> F.Column:
+    n = F.size("node_ids")
+    return (n > 1) & (
+        F.element_at("node_ids", 1) == F.element_at("node_ids", n)
+    )
+
+
+def barrier_connections(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Barrier ways misconnected to routable highways
+    (BarrierConnectionAnalyzer.cs:40-105).
+
+    A node shared between a non-passable barrier way and a highway way
+    is a routing problem unless the node itself is gate-like (has a
+    `barrier` tag), the highway is an explicit area, or a closed
+    platform. Output: one row per (node, barrier way, highway way).
+    """
+    barriers = ways.filter(
+        has_key("tags", "barrier")
+        & ~get_value("tags", "barrier").isin(PASSABLE_BARRIERS)
+    )
+    bn = _way_nodes(barriers, "barrier_id").join(
+        barriers.select(
+            F.col("id").alias("barrier_id"),
+            get_value("tags", "barrier").alias("barrier_value"),
+        ),
+        "barrier_id",
+    )
+    # gate-or-something nodes are fine (BarrierConnectionAnalyzer.cs:65-66)
+    gate_nodes = nodes.filter(has_key("tags", "barrier")).select(
+        F.col("id").alias("node_id")
+    )
+    bn = bn.join(gate_nodes, "node_id", "left_anti")
+
+    highways = ways.filter(
+        has_key("tags", "highway")
+        # explicit areas connect to tons of things legitimately (:81-84)
+        & (F.coalesce(get_value("tags", "area"), F.lit("")) != "yes")
+        # closed platforms are implicit areas (:88-89)
+        & ~((get_value("tags", "highway") == "platform") & _closed(ways))
+    )
+    hn = _way_nodes(highways, "highway_id").join(
+        highways.select(
+            F.col("id").alias("highway_id"),
+            get_value("tags", "highway").alias("highway_value"),
+        ),
+        "highway_id",
+    )
+    return (
+        bn.join(hn, "node_id")
+        .filter(F.col("barrier_id") != F.col("highway_id"))
+        .select("node_id", "barrier_id", "barrier_value", "highway_id", "highway_value")
+    )
+
+
+def bridge_water_connections(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Bridge ways sharing nodes with waterway ways
+    (BridgeAndWaterConnectionAnalyzer.cs:43-99).
+
+    Bridges cross water; a shared node means the bridge deck touches the
+    waterway geometry (dams excepted — highways legitimately cross dams,
+    :58-59). Grouped per (bridge, waterway) with the shared-node count
+    and the average coordinate of the connection points
+    (OsmGeoTools.GetAverageCoord over the node list).
+    """
+    bridges = ways.filter(has_key("tags", "bridge"))
+    waterways = ways.filter(
+        has_key("tags", "waterway") & (get_value("tags", "waterway") != "dam")
+    )
+    pairs = (
+        _way_nodes(bridges, "bridge_id")
+        .join(_way_nodes(waterways, "waterway_id"), "node_id")
+        .filter(F.col("bridge_id") != F.col("waterway_id"))
+    )
+    return (
+        pairs.join(nodes.select(F.col("id").alias("node_id"), "lat", "lon"), "node_id")
+        .groupBy("bridge_id", "waterway_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.avg("lat").alias("avg_lat"),
+            F.avg("lon").alias("avg_lon"),
+        )
+    )
+
+
+def crossing_consistency(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Crossing way-node tag consistency
+    (CrossingConsistencyAnalyzer.cs:62-132).
+
+    A footway-crossing way (highway in {path, footway} + footway =
+    crossing) containing EXACTLY one highway=crossing node forms a
+    crossing pair (GatherCrossings, :171-196); for each tag in
+    CROSSING_TAGS both values present but not ValuesMatch-equal is an
+    issue, except tactile_paving way=no vs node=yes/incorrect (kerb
+    paving, :105-115). Severity: >1 issues => bad; a lone
+    crossing=marked-vs-traffic_signals mismatch is the known legacy
+    variation => common; any other lone issue => bad (:118-131).
+
+    Output: one row per issue — (way_id, node_id, tag, way_value,
+    node_value, severity).
+    """
+    cways = ways.filter(
+        get_value("tags", "highway").isin("path", "footway")
+        & (get_value("tags", "footway") == "crossing")
+    ).select(F.col("id").alias("way_id"), F.col("tags").alias("way_tags"), "node_ids")
+    cnodes = nodes.filter(get_value("tags", "highway") == "crossing").select(
+        F.col("id").alias("node_id"), F.col("tags").alias("node_tags")
+    )
+    matched = _way_nodes(cways.withColumnRenamed("way_id", "id"), "way_id").join(
+        cnodes, "node_id"
+    )
+    # exactly one crossing node per way (:190-192)
+    singles = (
+        matched.groupBy("way_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("node_id").alias("node_id"))
+        .filter(F.col("n") == 1)
+        .select("way_id", "node_id")
+    )
+    pairs = (
+        singles.join(cways, "way_id")
+        .join(cnodes, "node_id")
+        .select("way_id", "node_id", "way_tags", "node_tags")
+    )
+
+    def tag_issue(tag: str) -> F.Column:
+        wv = get_value("way_tags", tag)
+        nv = get_value("node_tags", tag)
+        allowed = (
+            (F.lit(tag) == "tactile_paving")
+            & (wv == "no")
+            & nv.isin("yes", "incorrect")
+        )
+        bad = wv.isNotNull() & nv.isNotNull() & ~values_equal_unordered(wv, nv) & ~allowed
+        return F.when(
+            bad,
+            F.struct(
+                F.lit(tag).alias("tag"), wv.alias("way_value"), nv.alias("node_value")
+            ),
+        )
+
+    issues = F.filter(
+        F.array(*[tag_issue(t) for t in CROSSING_TAGS]), lambda x: x.isNotNull()
+    )
+    lone_common = (F.size("issues") == 1) & (
+        (F.element_at("issues", 1)["tag"] == "crossing")
+        & (F.element_at("issues", 1)["way_value"] == "marked")
+        & (F.element_at("issues", 1)["node_value"] == "traffic_signals")
+    )
+    return (
+        pairs.withColumn("issues", issues)
+        .filter(F.size("issues") > 0)
+        .withColumn(
+            "severity", F.when(lone_common, F.lit("common")).otherwise(F.lit("bad"))
+        )
+        .select(
+            "way_id",
+            "node_id",
+            F.explode("issues").alias("issue"),
+            "severity",
+        )
+        .select(
+            "way_id",
+            "node_id",
+            F.col("issue.tag").alias("tag"),
+            F.col("issue.way_value").alias("way_value"),
+            F.col("issue.node_value").alias("node_value"),
+            "severity",
+        )
+    )
+
+
+def terminating_ways(ways: DataFrame) -> DataFrame:
+    """Routable ways dead-ending on area edge rings
+    (TerminatingWaysAnalyzer.cs:52-135).
+
+    Areas are closed ways tagged amenity=parking, place=square, or
+    highway=pedestrian + area=yes (:25-34). For each ring node, a
+    routable way (OsmKnowledge routable highway values) TERMINATES there
+    when the node is the way's endpoint and no other way node lies on
+    the ring (WayTerminatesAtEdge, :106-121); otherwise any candidate
+    way with >=2 nodes PASSES THROUGH (its shared node is on the ring,
+    WayPassesThroughEdge :123-131). A ring node is reported exactly when
+    one way terminates and none pass through (:80-88) — note the area
+    way itself counts as passing when its highway value is routable
+    (pedestrian areas therefore never report, as in the reference).
+
+    Output: one row per termination point — (area_id, node_id, way_id).
+    """
+    areas = ways.filter(
+        _closed(ways)
+        & (
+            (get_value("tags", "amenity") == "parking")
+            | (get_value("tags", "place") == "square")
+            | (
+                (get_value("tags", "highway") == "pedestrian")
+                & (get_value("tags", "area") == "yes")
+            )
+        )
+    ).select(
+        F.col("id").alias("area_id"),
+        # drop the closing duplicate; ring node set for membership tests
+        F.array_distinct("node_ids").alias("ring"),
+    )
+    # ring edge nodes — areas are a filtered dim, broadcast with the array
+    edges = F.broadcast(
+        areas.select("area_id", "ring", F.explode("ring").alias("node_id"))
+    )
+
+    routable = ways.filter(
+        get_value("tags", "highway").isin(ROUTABLE_HIGHWAY_VALUES)
+    ).select(
+        F.col("id").alias("way_id"),
+        "node_ids",
+        F.element_at("node_ids", 1).alias("first_node"),
+        F.element_at("node_ids", -1).alias("last_node"),
+    )
+    # NOTE: no way_id != area_id exclusion — the reference iterates ALL
+    # routable ways at the edge node, including the area way itself,
+    # which then counts as passing through (TerminatingWaysAnalyzer.cs:73).
+    cand = routable.select(
+        "way_id", "node_ids", "first_node", "last_node",
+        F.explode(F.array_distinct("node_ids")).alias("node_id"),
+    ).join(edges, "node_id")
+    on_ring = F.size(F.array_intersect("node_ids", "ring"))
+    is_endpoint = (F.col("node_id") == F.col("first_node")) | (
+        F.col("node_id") == F.col("last_node")
+    )
+    # a CLOSED way can never terminate: its closing duplicate node is an
+    # area-ring node whenever its endpoint is, so both endpoint rules'
+    # "no other node on the ring" checks fail (WayTerminatesAtEdge,
+    # TerminatingWaysAnalyzer.cs:111-119 over Nodes incl. the duplicate)
+    closed = (F.size("node_ids") > 1) & (
+        F.element_at("node_ids", 1) == F.element_at("node_ids", F.size("node_ids"))
+    )
+    degenerate = F.size(F.array_distinct("node_ids")) < 2
+    classified = cand.select(
+        "area_id",
+        "node_id",
+        "way_id",
+        F.when(degenerate, F.lit(None))
+        .when(is_endpoint & (on_ring == 1) & ~closed, F.lit("term"))
+        .otherwise(F.lit("pass"))
+        .alias("cls"),
+    )
+    per_node = classified.groupBy("area_id", "node_id").agg(
+        F.count(F.when(F.col("cls") == "term", 1)).alias("n_term"),
+        F.count(F.when(F.col("cls") == "pass", 1)).alias("n_pass"),
+        F.min(F.when(F.col("cls") == "term", F.col("way_id"))).alias("way_id"),
+    )
+    return per_node.filter((F.col("n_term") == 1) & (F.col("n_pass") == 0)).select(
+        "area_id", "node_id", "way_id"
+    )

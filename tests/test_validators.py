@@ -1,0 +1,278 @@
+"""Validation analyzer semantics (reference Analyzers/Validation/) over
+hand-built element micro-fixtures: BarrierConnectionAnalyzer,
+BridgeAndWaterConnectionAnalyzer, CrossingConsistencyAnalyzer,
+TerminatingWaysAnalyzer."""
+
+import pytest
+
+from osmalyzer_spark.plans.validators import (
+    barrier_connections,
+    bridge_water_connections,
+    crossing_consistency,
+    terminating_ways,
+)
+
+
+def _ways(spark, rows):
+    # rows: (id, {tag: value}, [node ids])
+    return spark.createDataFrame(
+        list(rows), "id long, tags map<string,string>, node_ids array<long>"
+    )
+
+
+def _nodes(spark, rows, coords=False):
+    # rows: (id, {tag: value}) or (id, {tag: value}, lat, lon)
+    schema = "id long, tags map<string,string>"
+    if coords:
+        schema += ", lat double, lon double"
+    return spark.createDataFrame(list(rows), schema)
+
+
+# --------------------------------------------------------------------- q42
+
+
+def test_barrier_basic_misconnection(spark):
+    ways = _ways(
+        spark,
+        [
+            (1, {"barrier": "fence"}, [10, 11, 12]),
+            (2, {"highway": "residential"}, [12, 13]),
+        ],
+    )
+    nodes = _nodes(spark, [(10, {}), (11, {}), (12, {}), (13, {})])
+    out = barrier_connections(ways, nodes).collect()
+    assert [(r.node_id, r.barrier_id, r.highway_id) for r in out] == [(12, 1, 2)]
+    assert out[0].barrier_value == "fence" and out[0].highway_value == "residential"
+
+
+def test_barrier_passable_values_skipped(spark):
+    # gate-like barrier values are passable (BarrierConnectionAnalyzer.cs:49-61)
+    ways = _ways(
+        spark,
+        [
+            (1, {"barrier": "gate"}, [10, 11]),
+            (2, {"barrier": "cattle_grid"}, [11, 12]),
+            (3, {"highway": "residential"}, [10, 11, 12]),
+        ],
+    )
+    nodes = _nodes(spark, [(10, {}), (11, {}), (12, {})])
+    assert barrier_connections(ways, nodes).count() == 0
+
+
+def test_barrier_gate_node_and_area_skipped(spark):
+    ways = _ways(
+        spark,
+        [
+            (1, {"barrier": "wall"}, [10, 11, 12, 13]),
+            # shared node 10 is itself a gate -> fine (:65-66)
+            (2, {"highway": "footway"}, [10, 20]),
+            # explicit area -> fine (:81-84)
+            (3, {"highway": "pedestrian", "area": "yes"}, [11, 21]),
+            # closed platform -> implicit area -> fine (:88-89)
+            (4, {"highway": "platform"}, [12, 22, 23, 12]),
+            # open platform still reports
+            (5, {"highway": "platform"}, [13, 24]),
+        ],
+    )
+    nodes = _nodes(spark, [(i, {}) for i in (11, 12, 13, 20, 21, 22, 23, 24)] + [(10, {"barrier": "gate"})])
+    out = barrier_connections(ways, nodes).collect()
+    assert [(r.node_id, r.barrier_id, r.highway_id) for r in out] == [(13, 1, 5)]
+
+
+def test_barrier_self_join_excluded(spark):
+    # a way with both keys must not match itself
+    ways = _ways(spark, [(1, {"barrier": "wall", "highway": "service"}, [10, 11])])
+    nodes = _nodes(spark, [(10, {}), (11, {})])
+    assert barrier_connections(ways, nodes).count() == 0
+
+
+# --------------------------------------------------------------------- q43
+
+
+def test_bridge_water_groups_and_average(spark):
+    ways = _ways(
+        spark,
+        [
+            (1, {"bridge": "yes", "highway": "primary"}, [10, 11, 12]),
+            (2, {"waterway": "river"}, [10, 12, 20]),
+            (3, {"waterway": "dam"}, [11, 21]),  # dams excepted (:58-59)
+        ],
+    )
+    nodes = _nodes(
+        spark,
+        [(10, {}, 56.0, 24.0), (11, {}, 57.0, 25.0), (12, {}, 58.0, 26.0),
+         (20, {}, 50.0, 20.0), (21, {}, 51.0, 21.0)],
+        coords=True,
+    )
+    out = bridge_water_connections(ways, nodes).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.bridge_id, r.waterway_id, r.n_points) == (1, 2, 2)
+    assert r.avg_lat == pytest.approx(57.0) and r.avg_lon == pytest.approx(25.0)
+
+
+# --------------------------------------------------------------------- q44
+
+
+def _crossing_fixture(spark, way_tags, node_tags, extra_nodes=()):
+    base_way = {"highway": "footway", "footway": "crossing"}
+    ways = _ways(spark, [(1, {**base_way, **way_tags}, [10, 11, 12])])
+    nodes = _nodes(
+        spark,
+        [(11, {"highway": "crossing", **node_tags})] + [(n, t) for n, t in extra_nodes],
+    )
+    return ways, nodes
+
+
+def test_crossing_mismatch_and_severity(spark):
+    ways, nodes = _crossing_fixture(
+        spark, {"crossing": "marked"}, {"crossing": "traffic_signals"}
+    )
+    out = crossing_consistency(ways, nodes).collect()
+    # lone marked-vs-traffic_signals is the known legacy case (:118-131)
+    assert [(r.tag, r.way_value, r.node_value, r.severity) for r in out] == [
+        ("crossing", "marked", "traffic_signals", "common")
+    ]
+
+
+def test_crossing_two_issues_bad(spark):
+    ways, nodes = _crossing_fixture(
+        spark,
+        {"crossing": "marked", "lit": "yes"},
+        {"crossing": "traffic_signals", "lit": "no"},
+    )
+    out = crossing_consistency(ways, nodes).collect()
+    assert len(out) == 2 and all(r.severity == "bad" for r in out)
+
+
+def test_crossing_values_match_semicolon_sets(spark):
+    # zebra;dots vs dots; zebra are ValuesMatch-equal (TagUtils.cs:21-47)
+    ways, nodes = _crossing_fixture(
+        spark, {"crossing:markings": "zebra;dots"}, {"crossing:markings": "dots; zebra"}
+    )
+    assert crossing_consistency(ways, nodes).count() == 0
+    # but a plain value never set-matches a list
+    ways, nodes = _crossing_fixture(
+        spark, {"crossing:markings": "zebra"}, {"crossing:markings": "dots;zebra"}
+    )
+    out = crossing_consistency(ways, nodes).collect()
+    assert [(r.tag, r.severity) for r in out] == [("crossing:markings", "bad")]
+
+
+def test_crossing_tactile_paving_allowance(spark):
+    # way=no vs node=yes/incorrect is kerb paving, allowed (:105-115)
+    ways, nodes = _crossing_fixture(
+        spark, {"tactile_paving": "no"}, {"tactile_paving": "yes"}
+    )
+    assert crossing_consistency(ways, nodes).count() == 0
+    # the reverse is still an issue
+    ways, nodes = _crossing_fixture(
+        spark, {"tactile_paving": "yes"}, {"tactile_paving": "no"}
+    )
+    assert crossing_consistency(ways, nodes).count() == 1
+
+
+def test_crossing_button_operated_counted_twice(spark):
+    # the reference tag list contains button_operated twice (:70-82)
+    ways, nodes = _crossing_fixture(
+        spark, {"button_operated": "yes"}, {"button_operated": "no"}
+    )
+    out = crossing_consistency(ways, nodes).collect()
+    assert len(out) == 2 and {r.tag for r in out} == {"button_operated"}
+
+
+def test_crossing_requires_exactly_one_node(spark):
+    # two crossing nodes on the way -> no pair (GatherCrossings :190-192)
+    ways = _ways(
+        spark,
+        [(1, {"highway": "path", "footway": "crossing", "crossing": "marked"}, [10, 11, 12])],
+    )
+    nodes = _nodes(
+        spark,
+        [(10, {"highway": "crossing", "crossing": "uncontrolled"}),
+         (11, {"highway": "crossing", "crossing": "uncontrolled"})],
+    )
+    assert crossing_consistency(ways, nodes).count() == 0
+
+
+# --------------------------------------------------------------------- q45
+
+_AREA = {"amenity": "parking"}
+
+
+def test_terminating_way_reported(spark):
+    ways = _ways(
+        spark,
+        [
+            (1, _AREA, [10, 11, 12, 13, 10]),        # closed area ring
+            (2, {"highway": "footway"}, [11, 20, 21]),  # dead-ends on ring
+        ],
+    )
+    out = terminating_ways(ways).collect()
+    assert [(r.area_id, r.node_id, r.way_id) for r in out] == [(1, 11, 2)]
+
+
+def test_terminating_blocked_by_passing_way(spark):
+    ways = _ways(
+        spark,
+        [
+            (1, _AREA, [10, 11, 12, 13, 10]),
+            (2, {"highway": "footway"}, [11, 20]),
+            # another routable way at node 11 passes through -> blocks (:80-88)
+            (3, {"highway": "service"}, [21, 11, 22]),
+        ],
+    )
+    assert terminating_ways(ways).count() == 0
+
+
+def test_terminating_needs_endpoint_and_single_ring_node(spark):
+    ways = _ways(
+        spark,
+        [
+            (1, _AREA, [10, 11, 12, 13, 10]),
+            # touches ring mid-way, not at an endpoint -> passes through
+            (2, {"highway": "track"}, [20, 11, 21]),
+            # endpoint on ring but a second node also on the ring -> not terminating
+            (3, {"highway": "path"}, [12, 13, 30]),
+        ],
+    )
+    assert terminating_ways(ways).count() == 0
+
+
+def test_terminating_nonroutable_ignored(spark):
+    ways = _ways(
+        spark,
+        [
+            (1, _AREA, [10, 11, 12, 13, 10]),
+            (2, {"highway": "proposed"}, [11, 20]),  # not routable -> invisible
+        ],
+    )
+    assert terminating_ways(ways).count() == 0
+
+
+def test_terminating_pedestrian_area_blocks_itself(spark):
+    # the area way itself is routable (highway=pedestrian) and passes
+    # through its own ring, so its nodes never report (:73)
+    ways = _ways(
+        spark,
+        [
+            (1, {"highway": "pedestrian", "area": "yes"}, [10, 11, 12, 13, 10]),
+            (2, {"highway": "footway"}, [11, 20]),
+        ],
+    )
+    assert terminating_ways(ways).count() == 0
+
+
+def test_terminating_closed_way_never_terminates(spark):
+    # a closed routable way touching the ring at its endpoint is passing,
+    # not terminating: the closing duplicate defeats WayTerminatesAtEdge
+    # (:111-119) -- and therefore blocks other candidates at the node
+    ways = _ways(
+        spark,
+        [
+            (1, _AREA, [10, 11, 12, 13, 10]),
+            (2, {"highway": "footway"}, [11, 20]),
+            (3, {"highway": "track"}, [11, 30, 31, 11]),  # closed loop at 11
+        ],
+    )
+    assert terminating_ways(ways).count() == 0
