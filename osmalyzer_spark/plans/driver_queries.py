@@ -3035,6 +3035,250 @@ _ORACLES["q45_terminating_ways"] = f"""
 """
 
 
+# --------------------------------------------------------------------------
+# q46 — LifecycleLeftoversAnalyzer (validators.lifecycle_leftovers)
+#
+# Ways over part: highway iff id%4==1 (CASE residues), railway iff
+# id%6 in (2,3) — residue sets chosen so the value CASEs are NULL
+# exactly when the key is absent, making the SQL guards implicit. The
+# plain lifecycle tags fire on their own modulos (values include the
+# exception cases construction=minor / disused=yes / abandoned=yes and
+# lifecycle MAIN values like highway=proposed that re-enable them);
+# compound keys `construction:<hv>` / `disused:<rv>` are RUNTIME-
+# COMPUTED map keys on the Spark side.
+# --------------------------------------------------------------------------
+
+_Q46_HV = lambda k: _case_mod(  # noqa: E731
+    k, 20, {1: "residential", 5: "primary", 9: "proposed", 13: "construction", 17: "track"}
+)
+_Q46_RV = lambda k: _case_mod(  # noqa: E731
+    k, 12, {2: "rail", 3: "disused", 8: "abandoned", 9: "narrow_gauge"}
+)
+# plain lifecycle-tag values: present iff the CASE is non-null
+_Q46_PLAIN: dict[str, str] = {
+    "proposed": "CASE (({k}) % 10) WHEN 0 THEN 'yes' WHEN 5 THEN 'primary' END",
+    "construction": "CASE (({k}) % 14) WHEN 0 THEN 'minor' WHEN 7 THEN 'yes' END",
+    "planned": "CASE (({k}) % 9) WHEN 0 THEN 'yes' END",
+    "abandoned": "CASE (({k}) % 8) WHEN 0 THEN 'yes' END",
+    "disused": "CASE (({k}) % 22) WHEN 0 THEN 'yes' WHEN 11 THEN 'rail' END",
+    "razed": "CASE (({k}) % 13) WHEN 0 THEN 'yes' END",
+}
+
+
+def _q46_ways(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    hv = F.expr(_Q46_HV("p_partkey"))
+    rv = F.expr(_Q46_RV("p_partkey"))
+    entries = [
+        F.struct(F.lit("highway").alias("key"), hv.alias("value")),
+        F.struct(F.lit("railway").alias("key"), rv.alias("value")),
+    ]
+    for tag, tmpl in _Q46_PLAIN.items():
+        entries.append(
+            F.struct(
+                F.lit(tag).alias("key"),
+                F.expr(tmpl.format(k="p_partkey")).alias("value"),
+            )
+        )
+    # runtime-computed compound lifecycle keys
+    entries.append(
+        F.struct(
+            F.concat(F.lit("construction:"), hv).alias("key"),
+            F.when(hv.isNotNull() & (i % 17 == 0), F.lit("minor")).alias("value"),
+        )
+    )
+    entries.append(
+        F.struct(
+            F.concat(F.lit("disused:"), rv).alias("key"),
+            F.when(rv.isNotNull() & (i % 19 == 0), F.lit("yes")).alias("value"),
+        )
+    )
+    tags = F.map_from_entries(
+        F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+    )
+    return p.select(i.alias("id"), tags.alias("tags"))
+
+
+def q46_lifecycle_leftovers(spark, sf_dir):
+    """LifecycleLeftoversAnalyzer: highway/railway ways still carrying
+    proposed/construction/planned/abandoned/disused/razed tags (plain
+    AND `<prefix>:<main value>` compound keys), minus the valid
+    construction=minor and disused/abandoned=yes-on-live-way cases."""
+    from osmalyzer_spark.plans.validators import lifecycle_leftovers
+
+    return lifecycle_leftovers(_q46_ways(spark, sf_dir))
+
+
+def _q46_oracle_sql() -> str:
+    from osmalyzer_spark.plans.validators import LIFECYCLE_PREFIXES
+
+    lifecycle_list = ", ".join(f"'{p}'" for p in LIFECYCLE_PREFIXES)
+    arms = []
+    for p in LIFECYCLE_PREFIXES:
+        vp = _Q46_PLAIN[p].format(k="way_id")
+        extra = ""
+        if p == "construction":
+            extra = f" AND {vp} <> 'minor'"
+        if p in ("disused", "abandoned"):
+            extra = (
+                f" AND NOT ({vp} = 'yes' AND main_value NOT IN ({lifecycle_list}))"
+            )
+        arms.append(
+            f"SELECT way_id, main_tag, main_value, '{p}' AS tag, {vp} AS value"
+            f" FROM base WHERE {vp} IS NOT NULL AND main_value <> '{p}'{extra}"
+        )
+    # compound keys exist only as construction:<hv> (id%17) / disused:<rv> (id%19)
+    arms.append(
+        "SELECT way_id, main_tag, main_value,"
+        " 'construction:' || main_value AS tag, 'minor' AS value"
+        " FROM base WHERE main_tag = 'highway' AND way_id % 17 = 0"
+        " AND main_value <> 'construction'"
+    )
+    arms.append(
+        "SELECT way_id, main_tag, main_value,"
+        " 'disused:' || main_value AS tag, 'yes' AS value"
+        " FROM base WHERE main_tag = 'railway' AND way_id % 19 = 0"
+        " AND main_value <> 'disused'"
+    )
+    union = "\n    UNION ALL ".join(arms)
+    return f"""
+    WITH base AS (
+        SELECT p_partkey AS way_id,
+               CASE WHEN {_Q46_HV("p_partkey")} IS NOT NULL
+                    THEN 'highway' ELSE 'railway' END AS main_tag,
+               COALESCE({_Q46_HV("p_partkey")}, {_Q46_RV("p_partkey")}) AS main_value
+        FROM part
+        WHERE ({_Q46_HV("p_partkey")} IS NOT NULL) <> ({_Q46_RV("p_partkey")} IS NOT NULL)
+    )
+    {union}
+"""
+
+
+_ORACLES["q46_lifecycle_leftovers"] = _q46_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# q47 — StreetTaggingContinuityAnalyzer (validators.street_tagging_continuity)
+#
+# Road-route relations from orders (o%17==0; a network tag on o%34==0
+# excludes half), members from their lineitems (l_linenumber%6==5 are
+# node members and must be ignored), street ways from part (highway by
+# id%5, residue 3 = footway is NOT street-forming). Ways in multiple
+# routes arise naturally from partkey reuse and must contribute no
+# values. Consistent-tag values: present iff id % m == 0, value =
+# prefix || (id % v).
+# --------------------------------------------------------------------------
+
+_Q47_HW = lambda k: _case_mod(  # noqa: E731
+    k, 5, {0: "residential", 1: "primary", 2: "service", 3: "footway", 4: "track"}
+)
+# tag -> (presence modulus, value modulus, value prefix)
+_Q47_TAGS: dict[str, tuple[int, int, str]] = {
+    "name": (3, 50, "Street "),
+    "name:etymology": (6, 10, "P"),
+    "name:etymology:wikipedia": (9, 5, "W"),
+    "name:etymology:wikidata": (10, 7, "QE"),
+    "wikidata": (4, 100, "Q"),
+    "wikipedia": (11, 13, "lv:"),
+}
+
+
+def _q47_ways(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    tags = _tag_entries(
+        ("highway", F.expr(_Q47_HW("p_partkey"))),
+        *[
+            (tag, F.when(i % m == 0, F.concat(F.lit(pre), (i % v).cast("string"))))
+            for tag, (m, v, pre) in _Q47_TAGS.items()
+        ],
+    )
+    return p.select(i.alias("id"), tags.alias("tags"))
+
+
+def _q47_routes(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 17 == 0)
+    mem = li.select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_linenumber").alias("pos"),
+        F.when(F.col("l_linenumber") % 6 == 5, F.lit("node"))
+        .otherwise(F.lit("way"))
+        .alias("type"),
+        F.col("l_partkey").alias("ref"),
+        F.lit("").alias("role"),
+    )
+    i = F.col("id")
+    tags = _tag_entries(
+        ("type", F.lit("route")),
+        ("route", F.lit("road")),
+        ("network", F.when(i % 34 == 0, F.lit("lv:local"))),
+        ("name", F.concat(F.lit("Route "), (i % 100).cast("string"))),
+    )
+    return (
+        mem.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "type", "ref", "role"))),
+                lambda x: F.struct(
+                    x["type"].alias("type"), x["ref"].alias("ref"), x["role"].alias("role")
+                ),
+            ).alias("members")
+        )
+        .select("id", tags.alias("tags"), "members")
+    )
+
+
+def q47_street_continuity(spark, sf_dir):
+    """StreetTaggingContinuityAnalyzer: road-route relations whose
+    whole-street tags (name / etymology / wikidata / wikipedia) differ
+    across their single-route way segments, missing values included."""
+    from osmalyzer_spark.plans.validators import street_tagging_continuity
+
+    out = street_tagging_continuity(_q47_ways(spark, sf_dir), _q47_routes(spark, sf_dir))
+    return out.select(
+        "route_id", "tag", F.col("n_values").cast("long").alias("n_values"), "values"
+    )
+
+
+def _q47_oracle_sql() -> str:
+    arms = []
+    for tag, (m, v, pre) in _Q47_TAGS.items():
+        arms.append(
+            f"SELECT route_id, '{tag}' AS tag,"
+            f" COALESCE(CASE WHEN way_id % {m} = 0"
+            f" THEN '{pre}' || CAST(way_id % {v} AS VARCHAR) END, '<empty>') AS value"
+            f" FROM sv"
+        )
+    union = "\n    UNION ALL ".join(arms)
+    return f"""
+    WITH m AS (
+        SELECT DISTINCT l_orderkey AS route_id, l_partkey AS way_id
+        FROM lineitem
+        WHERE l_orderkey % 17 = 0 AND l_orderkey % 34 <> 0
+          AND l_linenumber % 6 <> 5
+    ),
+    w AS (
+        SELECT p_partkey AS way_id FROM part
+        WHERE {_Q47_HW("p_partkey")} IN ('residential','primary','service','track')
+    ),
+    seg AS (SELECT m.route_id, m.way_id FROM m JOIN w USING (way_id)),
+    single AS (
+        SELECT way_id FROM seg GROUP BY 1 HAVING COUNT(DISTINCT route_id) = 1
+    ),
+    sv AS (SELECT s.route_id, s.way_id FROM seg s JOIN single USING (way_id)),
+    vals AS (
+    {union}
+    )
+    SELECT route_id, tag, COUNT(DISTINCT value) AS n_values,
+           list_aggregate(list_sort(list(DISTINCT value)), 'string_agg', ',') AS values
+    FROM vals GROUP BY 1, 2 HAVING COUNT(DISTINCT value) > 1
+"""
+
+
+_ORACLES["q47_street_continuity"] = _q47_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3082,6 +3326,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_bridge_water": q43_bridge_water,
         "q44_crossing_consistency": q44_crossing_consistency,
         "q45_terminating_ways": q45_terminating_ways,
+        "q46_lifecycle_leftovers": q46_lifecycle_leftovers,
+        "q47_street_continuity": q47_street_continuity,
     }
 
 

@@ -397,3 +397,116 @@ def terminating_ways(ways: DataFrame) -> DataFrame:
     return per_node.filter((F.col("n_term") == 1) & (F.col("n_pass") == 0)).select(
         "area_id", "node_id", "way_id"
     )
+
+
+def lifecycle_leftovers(ways: DataFrame) -> DataFrame:
+    """Ways with leftover life-cycle tags
+    (LifecycleLeftoversAnalyzer.cs:45-110).
+
+    Over ways carrying highway XOR railway (both -> skipped, :53-57),
+    probe each lifecycle prefix p != main value as the plain tag `p` and
+    the compound tag `p:<main value>` (:66-72 — the compound key is a
+    runtime-computed map lookup). Plain-tag exceptions: construction=
+    minor is valid (:79-80); disused=yes / abandoned=yes are common on
+    a NON-lifecycle main value (:82-84) — neither exception applies to
+    compound tags (the reference compares the exact tag string).
+
+    Output: one row per leftover tag —
+    (way_id, main_tag, main_value, tag, value). Fully native: 12 map
+    probes, no shuffle at all (embarrassingly parallel scan).
+    """
+    hv = get_value("tags", "highway")
+    rv = get_value("tags", "railway")
+    w = ways.filter(hv.isNotNull() != rv.isNotNull())  # exactly one
+    main_tag = F.when(hv.isNotNull(), F.lit("highway")).otherwise(F.lit("railway"))
+    main_value = F.coalesce(hv, rv)
+    arms = []
+    for p in LIFECYCLE_PREFIXES:
+        for compound in (False, True):
+            if compound:
+                key = F.concat(F.lit(p + ":"), main_value)
+            else:
+                key = F.lit(p)
+            val = F.element_at(F.col("tags"), key)
+            cond = (main_value != p) & val.isNotNull()
+            if not compound:
+                if p == "construction":
+                    cond = cond & (val != "minor")
+                if p in ("disused", "abandoned"):
+                    cond = cond & ~(
+                        (val == "yes") & ~main_value.isin(LIFECYCLE_PREFIXES)
+                    )
+            arms.append(
+                F.when(cond, F.struct(key.alias("tag"), val.alias("value")))
+            )
+    leftovers = F.filter(F.array(*arms), lambda x: x.isNotNull())
+    return (
+        w.select(
+            F.col("id").alias("way_id"),
+            main_tag.alias("main_tag"),
+            main_value.alias("main_value"),
+            F.explode(leftovers).alias("lo"),
+        )
+        .select(
+            "way_id",
+            "main_tag",
+            "main_value",
+            F.col("lo.tag").alias("tag"),
+            F.col("lo.value").alias("value"),
+        )
+    )
+
+
+def street_tagging_continuity(ways: DataFrame, routes: DataFrame) -> DataFrame:
+    """Streets (road-route relations) whose whole-street tags vary
+    across segments (StreetTaggingContinuityAnalyzer.cs:50-80,120-204).
+
+    Streets come from type=route + route=road relations WITHOUT a
+    network tag (:30-35; the reference also applies a fuzzy-loose
+    Latvia-polygon containment — compose geo.polygon /
+    osm.fuzzy_relation_containment upstream for that). Segments are the
+    relation's way members whose highway value forms a street
+    (STREET_HIGHWAY_VALUES). A way claimed by MORE THAN ONE route
+    contributes no values (CollectValues :186-190 skips multi-route
+    segments — they always mismatch). Per street and consistent tag,
+    the distinct value set INCLUDING the missing-value null (:192-196)
+    must be a singleton; otherwise one issue row:
+    (route_id, tag, n_values, values) with nulls rendered '<empty>'.
+    """
+    r = routes.filter(
+        (get_value("tags", "type") == "route")
+        & (get_value("tags", "route") == "road")
+        & ~has_key("tags", "network")
+    )
+    members = r.select(
+        F.col("id").alias("route_id"), F.explode("members").alias("m")
+    ).filter(F.col("m.type") == "way")
+    street_ways = ways.filter(
+        get_value("tags", "highway").isin(STREET_HIGHWAY_VALUES)
+    ).select(F.col("id").alias("way_id"), "tags")
+    segments = (
+        members.select("route_id", F.col("m.ref").alias("way_id"))
+        .distinct()
+        .join(street_ways, "way_id")
+    )
+    # ways in >1 route contribute no values anywhere
+    route_counts = segments.groupBy("way_id").agg(
+        F.countDistinct("route_id").alias("n_routes")
+    )
+    single = segments.join(route_counts, "way_id").filter(F.col("n_routes") == 1)
+    per_tag = [
+        single.select(
+            "route_id",
+            F.lit(tag).alias("tag"),
+            F.coalesce(get_value("tags", tag), F.lit("<empty>")).alias("value"),
+        )
+        for tag in STREET_CONSISTENT_TAGS
+    ]
+    allv = per_tag[0]
+    for t in per_tag[1:]:
+        allv = allv.unionByName(t)
+    agg = allv.groupBy("route_id", "tag").agg(
+        F.size(F.collect_set("value")).alias("n_values"),
+        F.concat_ws(",", F.array_sort(F.collect_set("value"))).alias("values"),
+    )
+    return agg.filter(F.col("n_values") > 1)

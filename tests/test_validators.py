@@ -276,3 +276,147 @@ def test_terminating_closed_way_never_terminates(spark):
         ],
     )
     assert terminating_ways(ways).count() == 0
+
+
+# --------------------------------------------------------------------- q46
+
+
+def _tagged_ways(spark, rows):
+    # rows: (id, {tag: value}) — no geometry needed
+    return spark.createDataFrame(list(rows), "id long, tags map<string,string>")
+
+
+def test_lifecycle_plain_leftovers(spark):
+    from osmalyzer_spark.plans.validators import lifecycle_leftovers
+
+    ways = _tagged_ways(
+        spark,
+        [
+            (1, {"highway": "residential", "proposed": "yes"}),
+            (2, {"railway": "rail", "razed": "yes", "planned": "yes"}),
+            (3, {"highway": "primary"}),  # clean
+        ],
+    )
+    out = lifecycle_leftovers(ways).collect()
+    got = sorted((r.way_id, r.main_tag, r.main_value, r.tag, r.value) for r in out)
+    assert got == [
+        (1, "highway", "residential", "proposed", "yes"),
+        (2, "railway", "rail", "planned", "yes"),
+        (2, "railway", "rail", "razed", "yes"),
+    ]
+
+
+def test_lifecycle_exceptions_and_main_skip(spark):
+    from osmalyzer_spark.plans.validators import lifecycle_leftovers
+
+    ways = _tagged_ways(
+        spark,
+        [
+            # construction=minor is a valid special case (:79-80)
+            (1, {"highway": "primary", "construction": "minor"}),
+            # disused=yes on a live (non-lifecycle) value is common (:82-84)
+            (2, {"railway": "rail", "disused": "yes"}),
+            # ... but on a lifecycle main value it IS a leftover
+            (3, {"highway": "proposed", "disused": "yes"}),
+            # prefix equal to the main value is skipped entirely (:67-68)
+            (4, {"highway": "proposed", "proposed": "yes"}),
+            # both main keys -> we don't know how to deal with this (:53-57)
+            (5, {"highway": "residential", "railway": "rail", "razed": "yes"}),
+        ],
+    )
+    out = lifecycle_leftovers(ways).collect()
+    got = sorted((r.way_id, r.tag, r.value) for r in out)
+    assert got == [(3, "disused", "yes")]
+
+
+def test_lifecycle_compound_keys(spark):
+    from osmalyzer_spark.plans.validators import lifecycle_leftovers
+
+    ways = _tagged_ways(
+        spark,
+        [
+            # compound construction:<main> has NO minor exception
+            (1, {"highway": "primary", "construction:primary": "minor"}),
+            # compound disused:<main> has NO yes-on-live exception
+            (2, {"railway": "rail", "disused:rail": "yes"}),
+            # compound key for a DIFFERENT value is not probed
+            (3, {"highway": "primary", "construction:secondary": "minor"}),
+        ],
+    )
+    out = lifecycle_leftovers(ways).collect()
+    got = sorted((r.way_id, r.tag, r.value) for r in out)
+    assert got == [
+        (1, "construction:primary", "minor"),
+        (2, "disused:rail", "yes"),
+    ]
+
+
+# --------------------------------------------------------------------- q47
+
+
+def _routes(spark, rows):
+    # rows: (id, {tag: value}, [way refs])
+    return spark.createDataFrame(
+        [(i, t, [("way", r, "") for r in refs]) for i, t, refs in rows],
+        "id long, tags map<string,string>, "
+        "members array<struct<type string, ref long, role string>>",
+    )
+
+
+_ROAD = {"type": "route", "route": "road"}
+
+
+def test_street_continuity_mismatch(spark):
+    from osmalyzer_spark.plans.validators import street_tagging_continuity
+
+    ways = _tagged_ways(
+        spark,
+        [
+            (1, {"highway": "residential", "name": "A iela"}),
+            (2, {"highway": "residential", "name": "B iela"}),
+            (3, {"highway": "residential", "name": "A iela", "wikidata": "Q1"}),
+        ],
+    )
+    routes = _routes(spark, [(10, _ROAD, [1, 2, 3])])
+    out = street_tagging_continuity(ways, routes).collect()
+    got = {(r.tag): (r.n_values, r.values) for r in out}
+    assert got["name"] == (2, "A iela,B iela")
+    # missing values count as a distinct 'empty' value (:192-196)
+    assert got["wikidata"] == (2, "<empty>,Q1")
+
+
+def test_street_continuity_multi_route_ways_skipped(spark):
+    from osmalyzer_spark.plans.validators import street_tagging_continuity
+
+    ways = _tagged_ways(
+        spark,
+        [
+            (1, {"highway": "primary", "name": "X"}),
+            (2, {"highway": "primary", "name": "Y"}),  # in both routes
+        ],
+    )
+    routes = _routes(spark, [(10, _ROAD, [1, 2]), (11, _ROAD, [2])])
+    # way 2 is multi-route -> contributes nothing; each street is uniform
+    assert street_tagging_continuity(ways, routes).count() == 0
+
+
+def test_street_continuity_filters(spark):
+    from osmalyzer_spark.plans.validators import street_tagging_continuity
+
+    ways = _tagged_ways(
+        spark,
+        [
+            (1, {"highway": "residential", "name": "A"}),
+            (2, {"highway": "residential", "name": "B"}),
+            (3, {"highway": "footway", "name": "C"}),  # not street-forming
+        ],
+    )
+    routes = _routes(
+        spark,
+        [
+            (10, {**_ROAD, "network": "lv:local"}, [1, 2]),  # network -> excluded
+            (11, {"type": "route", "route": "bicycle"}, [1, 2]),  # not road
+            (12, _ROAD, [1, 3]),  # way 3 filtered -> single segment, uniform
+        ],
+    )
+    assert street_tagging_continuity(ways, routes).count() == 0
