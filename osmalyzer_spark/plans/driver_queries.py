@@ -3279,6 +3279,219 @@ def _q47_oracle_sql() -> str:
 _ORACLES["q47_street_continuity"] = _q47_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q48 — HighwaySpeedLimitAnalyzer (validators.highway_speed_check)
+#
+# Roads over part with maxspeed/highway/surface/maxspeed:type modulo
+# CASEs covering both report groups, the signed/zoned exclusions, and
+# the GroupByValues first-present-of-ref/name grouping (elements with
+# neither key drop out of the report).
+# --------------------------------------------------------------------------
+
+_Q48_HV = lambda k: _case_mod(  # noqa: E731
+    k, 7, {0: "primary", 1: "secondary", 2: "residential", 3: "track",
+           4: "unclassified", 5: "tertiary", 6: "footway"}
+)
+_Q48_MS = lambda k: _case_mod(k, 5, {0: "90", 1: "80", 2: "90", 3: "50"})  # noqa: E731
+_Q48_SURF = lambda k: _case_mod(  # noqa: E731
+    k, 11, {0: "gravel", 1: "asphalt", 2: "dirt", 3: "paved", 4: "ground",
+            5: "concrete", 6: "sand", 7: "sett", 8: "compacted", 10: "chipseal"}
+)
+_Q48_MT = lambda k: _case_mod(  # noqa: E731
+    k, 13, {0: "sign", 1: "LV:zone90", 2: "LV:zone80"}
+)
+
+
+def _q48_ways(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    tags = _tag_entries(
+        ("highway", F.expr(_Q48_HV("p_partkey"))),
+        ("maxspeed", F.expr(_Q48_MS("p_partkey"))),
+        ("surface", F.expr(_Q48_SURF("p_partkey"))),
+        ("maxspeed:type", F.expr(_Q48_MT("p_partkey"))),
+        ("ref", F.when(i % 4 == 0, F.concat(F.lit("P"), (i % 30).cast("string")))),
+        ("name", F.when(i % 3 == 0, F.concat(F.lit("Cels "), (i % 40).cast("string")))),
+    )
+    return p.select(
+        i.alias("id"),
+        tags.alias("tags"),
+        F.expr(synth_lat_sql("p_partkey")).alias("lat"),
+        F.expr(synth_lon_sql("p_partkey")).alias("lon"),
+    )
+
+
+def q48_speed_limits(spark, sf_dir):
+    """HighwaySpeedLimitAnalyzer: unpaved roads signed 90 / paved roads
+    signed 80 (minus explicit signs and speed zones), grouped
+    GroupByValues-style by ref-else-name with distinct surfaces and the
+    group's average coordinate."""
+    from osmalyzer_spark.plans.validators import highway_speed_check
+
+    out = highway_speed_check(_q48_ways(spark, sf_dir))
+    return out.select(
+        "category", "group_value", "n_segments", "surfaces", "refs", "names",
+        F.round("avg_lat", 4).alias("avg_lat"),
+        F.round("avg_lon", 4).alias("avg_lon"),
+    )
+
+
+def _q48_oracle_sql() -> str:
+    from osmalyzer_spark.plans.validators import (
+        PAVED_SURFACES,
+        SPEED_ROAD_VALUES,
+        UNPAVED_SURFACES,
+    )
+
+    roads = ", ".join(f"'{v}'" for v in SPEED_ROAD_VALUES)
+    unpaved = ", ".join(f"'{v}'" for v in UNPAVED_SURFACES)
+    paved = ", ".join(f"'{v}'" for v in PAVED_SURFACES)
+    sorted_join = (
+        lambda c: f"COALESCE(list_aggregate(list_sort(list(DISTINCT {c}) "
+        f"FILTER (WHERE {c} IS NOT NULL)), 'string_agg', ','), '')"
+    )
+    return f"""
+    WITH base AS (
+        SELECT p_partkey AS id,
+               {_Q48_MS("p_partkey")} AS ms,
+               {_Q48_SURF("p_partkey")} AS surface,
+               COALESCE({_Q48_MT("p_partkey")}, '') AS mt,
+               CASE WHEN p_partkey % 4 = 0
+                    THEN 'P' || CAST(p_partkey % 30 AS VARCHAR) END AS ref,
+               CASE WHEN p_partkey % 3 = 0
+                    THEN 'Cels ' || CAST(p_partkey % 40 AS VARCHAR) END AS name,
+               {synth_lat_sql("p_partkey")} AS lat,
+               {synth_lon_sql("p_partkey")} AS lon
+        FROM part
+        WHERE {_Q48_MS("p_partkey")} IN ('80', '90')
+          AND {_Q48_HV("p_partkey")} IN ({roads})
+          AND {_Q48_SURF("p_partkey")} IS NOT NULL
+    ),
+    cat AS (
+        SELECT 'unpaved90' AS category, * FROM base
+        WHERE ms = '90' AND surface IN ({unpaved})
+          AND mt NOT IN ('sign', 'LV:zone90')
+        UNION ALL
+        SELECT 'paved80' AS category, * FROM base
+        WHERE ms = '80' AND surface IN ({paved})
+          AND mt NOT IN ('sign', 'LV:zone80')
+    ),
+    g AS (
+        SELECT *, CASE WHEN ref IS NOT NULL THEN ref
+                       WHEN name IS NOT NULL THEN name END AS group_value
+        FROM cat
+    )
+    SELECT category, group_value, COUNT(*) AS n_segments,
+           {sorted_join("surface")} AS surfaces,
+           {sorted_join("ref")} AS refs,
+           {sorted_join("name")} AS names,
+           round(avg(lat), 4) AS avg_lat,
+           round(avg(lon), 4) AS avg_lon
+    FROM g WHERE group_value IS NOT NULL
+    GROUP BY 1, 2
+"""
+
+
+_ORACLES["q48_speed_limits"] = _q48_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# q49 — LoneCrossingAnalyzer (validators.lone_crossings)
+#
+# Crossing nodes = part ids % 3 == 0 over the lineitem way membership;
+# parent-way highway values by way%23 mix roads, footways, cycleways,
+# pedestrian (BOTH a road and a footway), and no-op classes; railway=
+# tram by way%31. Every category branch (road_only / footway_only /
+# stray / the valid and cycleway-suppressed non-rows) is populated.
+# --------------------------------------------------------------------------
+
+_Q49_HV = lambda k: _case_mod(  # noqa: E731
+    k, 23, {0: "primary", 1: "footway", 2: "service", 3: "path", 4: "cycleway",
+            5: "track", 6: "pedestrian", 7: "residential", 8: "construction",
+            9: "motorway", 11: "living_street", 12: "cycleway", 13: "footway",
+            14: "proposed", 15: "tertiary", 16: "unclassified", 17: "path",
+            19: "secondary", 20: "raceway", 21: "steps", 22: "bridleway"}
+)
+
+
+def _q49_ways(spark, sf_dir) -> DataFrame:
+    # thinned membership (q45 discipline): ~3 ways/node at every SF so
+    # single-class and zero-way nodes actually occur
+    w = _val_mem(
+        spark, sf_dir, pred=(F.col("l_orderkey") + F.col("l_partkey")) % 9 == 0
+    )
+    i = F.col("id")
+    tags = _tag_entries(
+        ("highway", F.expr(_Q49_HV("id"))),
+        ("railway", F.when(i % 31 == 0, F.lit("tram"))),
+    )
+    return w.select("id", tags.alias("tags"), "node_ids")
+
+
+def _q49_nodes(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    return p.select(
+        i.alias("id"),
+        _tag_entries(("highway", F.when(i % 3 == 0, F.lit("crossing")))).alias("tags"),
+    )
+
+
+def q49_lone_crossings(spark, sf_dir):
+    """LoneCrossingAnalyzer: crossing nodes classified road_only /
+    footway_only / stray from OR-folded parent-way flags (pedestrian
+    counts as road AND footway; tram rails count as roads;
+    footway-crossing-cycleway emits nothing)."""
+    from osmalyzer_spark.plans.validators import lone_crossings
+
+    return lone_crossings(_q49_ways(spark, sf_dir), _q49_nodes(spark, sf_dir))
+
+
+def _q49_oracle_sql() -> str:
+    from osmalyzer_spark.plans.validators import (
+        CROSSING_FOOTWAY_VALUES,
+        CROSSING_ROAD_VALUES,
+    )
+
+    roadl = ", ".join(f"'{v}'" for v in CROSSING_ROAD_VALUES)
+    footl = ", ".join(f"'{v}'" for v in CROSSING_FOOTWAY_VALUES)
+    return f"""
+    WITH mem AS (
+        SELECT DISTINCT l_orderkey AS way_id, l_partkey AS node_id
+        FROM lineitem WHERE (l_orderkey + l_partkey) % 9 = 0
+    ),
+    wf AS (
+        SELECT way_id,
+               {_Q49_HV("way_id")} AS hv,
+               CASE WHEN way_id % 31 = 0 THEN 'tram' END AS rv
+        FROM (SELECT DISTINCT way_id FROM mem)
+    ),
+    cn AS (SELECT p_partkey AS node_id FROM part WHERE p_partkey % 3 = 0),
+    flags AS (
+        SELECT cn.node_id,
+               COALESCE(bool_or(hv IN ({roadl})), false) AS road,
+               COALESCE(bool_or(hv IN ({footl})), false) AS foot,
+               COALESCE(bool_or(hv = 'cycleway'), false) AS cyc,
+               COALESCE(bool_or(rv = 'tram'), false) AS rail
+        FROM cn
+        LEFT JOIN mem m ON m.node_id = cn.node_id
+        LEFT JOIN wf ON wf.way_id = m.way_id
+        GROUP BY 1
+    )
+    SELECT node_id,
+           CASE WHEN (road OR rail) AND NOT (foot OR cyc) THEN 'road_only'
+                WHEN NOT road AND NOT rail AND (foot OR cyc)
+                     THEN (CASE WHEN NOT cyc THEN 'footway_only' END)
+                WHEN NOT road AND NOT (foot OR cyc) THEN 'stray'
+           END AS category
+    FROM flags
+    WHERE category IS NOT NULL
+"""
+
+
+_ORACLES["q49_lone_crossings"] = _q49_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3328,6 +3541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_terminating_ways": q45_terminating_ways,
         "q46_lifecycle_leftovers": q46_lifecycle_leftovers,
         "q47_street_continuity": q47_street_continuity,
+        "q48_speed_limits": q48_speed_limits,
+        "q49_lone_crossings": q49_lone_crossings,
     }
 
 

@@ -510,3 +510,143 @@ def street_tagging_continuity(ways: DataFrame, routes: DataFrame) -> DataFrame:
         F.concat_ws(",", F.array_sort(F.collect_set("value"))).alias("values"),
     )
     return agg.filter(F.col("n_values") > 1)
+
+
+# HighwaySpeedLimitAnalyzer.cs:25-30 — roads whose 80/90 limits are checked.
+SPEED_ROAD_VALUES = [
+    "trunk",
+    "primary",
+    "secondary",
+    "tertiary",
+    "unclassified",
+    "residential",
+    "trunk_link",
+    "primary_link",
+    "secondary_link",
+]
+# HighwaySpeedLimitAnalyzer.cs:46-48 / :78-80 — surface classes.
+UNPAVED_SURFACES = [
+    "unpaved", "ground", "gravel", "dirt", "grass", "compacted",
+    "sand", "fine_gravel", "earth", "pebblestone",
+]
+PAVED_SURFACES = ["asphalt", "paved", "concrete", "chipseal"]
+
+# LoneCrossingAnalyzer.cs:64-76 — way classes a crossing node may sit on.
+# NOTE: "pedestrian" appears in BOTH lists (a pedestrian way is a road
+# AND a footway there).
+CROSSING_ROAD_VALUES = [
+    "motorway", "trunk", "primary", "secondary", "tertiary",
+    "unclassified", "residential", "motorway_link", "trunk_link",
+    "primary_link", "secondary_link", "tertiary_link", "living_street",
+    "pedestrian", "service", "track",
+]
+CROSSING_FOOTWAY_VALUES = ["footway", "path", "pedestrian"]
+
+
+def highway_speed_check(ways: DataFrame) -> DataFrame:
+    """Suspect 80/90 speed limits vs surface
+    (HighwaySpeedLimitAnalyzer.cs:23-116).
+
+    Over ways with maxspeed 80/90, a checked highway class, and a
+    surface tag (the reference also applies a fuzzy-loose Latvia-polygon
+    containment — compose upstream): unpaved surfaces with maxspeed=90
+    (the unpaved default is 80, :44-49) and paved surfaces with
+    maxspeed=80 (:77-82), both minus explicitly signed/zoned roads
+    (maxspeed:type). Issues are grouped GroupByValues-style by the first
+    present of ref/name (OsmData.cs:376-398; elements with neither are
+    dropped) with the group's distinct surfaces/refs/names and average
+    coordinate (OsmGroup.CollectValues / GetAverageElementCoord).
+
+    Input: (id, tags, lat, lon) with per-way average coords. Output:
+    (category, group_value, n_segments, surfaces, refs, names,
+    avg_lat, avg_lon).
+    """
+    ms = get_value("tags", "maxspeed")
+    hv = get_value("tags", "highway")
+    surface = get_value("tags", "surface")
+    mtype = F.coalesce(get_value("tags", "maxspeed:type"), F.lit(""))
+    base = ways.filter(
+        ms.isin("80", "90") & hv.isin(SPEED_ROAD_VALUES) & has_key("tags", "surface")
+    )
+    u90 = base.filter(
+        (ms == "90") & surface.isin(UNPAVED_SURFACES) & ~mtype.isin("sign", "LV:zone90")
+    ).withColumn("category", F.lit("unpaved90"))
+    p80 = base.filter(
+        (ms == "80") & surface.isin(PAVED_SURFACES) & ~mtype.isin("sign", "LV:zone80")
+    ).withColumn("category", F.lit("paved80"))
+    both = u90.unionByName(p80)
+    group_value = F.when(has_key("tags", "ref"), get_value("tags", "ref")).when(
+        has_key("tags", "name"), get_value("tags", "name")
+    )
+    joined = lambda c: F.concat_ws(",", F.array_sort(F.collect_set(c)))  # noqa: E731
+    return (
+        both.withColumn("group_value", group_value)
+        .filter(F.col("group_value").isNotNull())
+        .groupBy("category", "group_value")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            joined(surface).alias("surfaces"),
+            joined(get_value("tags", "ref")).alias("refs"),
+            joined(get_value("tags", "name")).alias("names"),
+            F.avg("lat").alias("avg_lat"),
+            F.avg("lon").alias("avg_lon"),
+        )
+    )
+
+
+def lone_crossings(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Crossing nodes missing an expected parent way
+    (LoneCrossingAnalyzer.cs:25-93).
+
+    Per highway=crossing node, OR-fold its parent ways into four flags —
+    road (incl. pedestrian/service/track), footway (footway/path/
+    pedestrian), cycleway, and railway=tram (tram crossings mapped as
+    regular crossings are allowed, :73-74). The reference's exclusive
+    chain (:78-93): road-or-rail without any person way => road_only;
+    person way without road/rail => footway_only UNLESS a cycleway is
+    present (footway-crossing-cycleway is valid); neither road nor
+    person => stray. Valid crossings (road AND person) emit nothing.
+
+    Output: (node_id, category).
+    """
+    cn = nodes.filter(get_value("tags", "highway") == "crossing").select(
+        F.col("id").alias("node_id")
+    )
+    hv = get_value("tags", "highway")
+    wf = ways.select(
+        F.col("id").alias("way_id"),
+        hv.isin(CROSSING_ROAD_VALUES).alias("is_road"),
+        hv.isin(CROSSING_FOOTWAY_VALUES).alias("is_footway"),
+        (hv == "cycleway").alias("is_cycleway"),
+        (get_value("tags", "railway") == "tram").alias("is_rail"),
+        "node_ids",
+    )
+    wn = wf.select(
+        "way_id", "is_road", "is_footway", "is_cycleway", "is_rail",
+        F.explode(F.array_distinct("node_ids")).alias("node_id"),
+    )
+    flags = (
+        cn.join(wn, "node_id", "left")
+        .groupBy("node_id")
+        .agg(
+            F.coalesce(F.bool_or("is_road"), F.lit(False)).alias("road"),
+            F.coalesce(F.bool_or("is_footway"), F.lit(False)).alias("foot"),
+            F.coalesce(F.bool_or("is_cycleway"), F.lit(False)).alias("cyc"),
+            F.coalesce(F.bool_or("is_rail"), F.lit(False)).alias("rail"),
+        )
+    )
+    person = F.col("foot") | F.col("cyc")
+    category = (
+        F.when((F.col("road") | F.col("rail")) & ~person, F.lit("road_only"))
+        .when(
+            ~F.col("road") & ~F.col("rail") & person,
+            # footway crossing a cycleway is a valid crossing (:86-87)
+            F.when(~F.col("cyc"), F.lit("footway_only")),
+        )
+        .when(~F.col("road") & ~person, F.lit("stray"))
+    )
+    return (
+        flags.withColumn("category", category)
+        .filter(F.col("category").isNotNull())
+        .select("node_id", "category")
+    )

@@ -420,3 +420,93 @@ def test_street_continuity_filters(spark):
         ],
     )
     assert street_tagging_continuity(ways, routes).count() == 0
+
+
+# --------------------------------------------------------------------- q48
+
+
+def _speed_ways(spark, rows):
+    # rows: (id, {tag: value}, lat, lon)
+    return spark.createDataFrame(
+        list(rows), "id long, tags map<string,string>, lat double, lon double"
+    )
+
+
+def test_speed_limit_groups(spark):
+    from osmalyzer_spark.plans.validators import highway_speed_check
+
+    ways = _speed_ways(
+        spark,
+        [
+            # two unpaved-90 segments grouped under the same ref
+            (1, {"highway": "primary", "maxspeed": "90", "surface": "gravel", "ref": "P1"}, 56.0, 24.0),
+            (2, {"highway": "primary", "maxspeed": "90", "surface": "dirt", "ref": "P1"}, 58.0, 26.0),
+            # paved-80, grouped by name (no ref)
+            (3, {"highway": "residential", "maxspeed": "80", "surface": "asphalt", "name": "A iela"}, 57.0, 25.0),
+            # signed -> excluded (HighwaySpeedLimitAnalyzer.cs:48,80)
+            (4, {"highway": "primary", "maxspeed": "90", "surface": "gravel", "ref": "P2", "maxspeed:type": "sign"}, 56.0, 24.0),
+            # zone90 tag -> excluded
+            (5, {"highway": "primary", "maxspeed": "90", "surface": "gravel", "ref": "P3", "maxspeed:type": "LV:zone90"}, 56.0, 24.0),
+            # paved at 90 is fine
+            (6, {"highway": "primary", "maxspeed": "90", "surface": "asphalt", "ref": "P4"}, 56.0, 24.0),
+            # neither ref nor name -> dropped from the report (OsmData.cs:376-398)
+            (7, {"highway": "primary", "maxspeed": "90", "surface": "gravel"}, 56.0, 24.0),
+            # unchecked highway class
+            (8, {"highway": "track", "maxspeed": "90", "surface": "gravel", "ref": "P5"}, 56.0, 24.0),
+        ],
+    )
+    out = {(r.category, r.group_value): r for r in highway_speed_check(ways).collect()}
+    assert set(out) == {("unpaved90", "P1"), ("paved80", "A iela")}
+    g = out[("unpaved90", "P1")]
+    assert g.n_segments == 2 and g.surfaces == "dirt,gravel" and g.refs == "P1"
+    assert g.avg_lat == pytest.approx(57.0) and g.avg_lon == pytest.approx(25.0)
+
+
+# --------------------------------------------------------------------- q49
+
+
+def test_lone_crossing_categories(spark):
+    from osmalyzer_spark.plans.validators import lone_crossings
+
+    ways = _ways(
+        spark,
+        [
+            (1, {"highway": "residential"}, [10, 11]),
+            (2, {"highway": "footway"}, [11, 12]),
+            (3, {"highway": "cycleway"}, [13, 12]),
+            (4, {"railway": "tram"}, [14, 15]),
+        ],
+    )
+    crossing = {"highway": "crossing"}
+    nodes = _nodes(
+        spark,
+        [
+            (10, crossing),  # road only
+            (11, crossing),  # road + footway -> valid, no row
+            (12, crossing),  # footway + cycleway -> suppressed (:86-87)
+            (13, crossing),  # cycleway only -> person without road BUT cycleway -> no row
+            (14, crossing),  # tram only -> road_only (:73-74)
+            (16, crossing),  # no ways at all -> stray
+            (17, {}),        # not a crossing
+        ],
+    )
+    out = {r.node_id: r.category for r in lone_crossings(ways, nodes).collect()}
+    assert out == {10: "road_only", 14: "road_only", 16: "stray"}
+
+
+def test_lone_crossing_footway_only(spark):
+    from osmalyzer_spark.plans.validators import lone_crossings
+
+    ways = _ways(spark, [(1, {"highway": "path"}, [10])])
+    nodes = _nodes(spark, [(10, {"highway": "crossing"})])
+    out = lone_crossings(ways, nodes).collect()
+    assert [(r.node_id, r.category) for r in out] == [(10, "footway_only")]
+
+
+def test_lone_crossing_pedestrian_counts_both(spark):
+    from osmalyzer_spark.plans.validators import lone_crossings
+
+    # pedestrian is in BOTH the road and footway lists -> valid crossing
+    ways = _ways(spark, [(1, {"highway": "pedestrian"}, [10])])
+    nodes = _nodes(spark, [(10, {"highway": "crossing"})])
+    assert lone_crossings(ways, nodes).count() == 0
