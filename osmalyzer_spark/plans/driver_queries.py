@@ -3492,6 +3492,381 @@ def _q49_oracle_sql() -> str:
 _ORACLES["q49_lone_crossings"] = _q49_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q50 — RestrictionRelationAnalyzer (plans/restrictions.py)
+#
+# Turn-restriction relations from orders (o%11==0) over a constructed
+# road graph from part: way w runs node w -> (mid) -> node w+1, so
+# consecutive ways chain at node w+1; every 4th way routes its middle
+# through node w+2 (adding +2 branching there, +1 when w%20==0 makes it
+# a roundabout). Relation r uses base way b=(r%150)+1 with member-shape
+# variations by r%7: 0 clean, 1 detached `to`, 2 via-as-way, 3 missing
+# via, 4 double `from`, 5 stray role member, 6 via at a non-terminal
+# node. Tag CASEs cover simple/conditional/unknown values, hgv mode,
+# exceptions, deprecated and unknown tags. The oracle mirrors the
+# validator stage-for-stage over UNION-ALL entry/member CTEs built from
+# the same formulas.
+# --------------------------------------------------------------------------
+
+_Q50_RESTR = lambda k: _case_mod(  # noqa: E731
+    k, 12, {0: "no_left_turn", 1: "no_right_turn", 2: "only_straight_on",
+            3: "none", 4: "no_entry", 5: "no_exit", 6: "no_u_turn",
+            7: "weird_value", 9: "no_left_turn", 10: "only_left_turn"}
+)
+_Q50_COND = lambda k: _case_mod(  # noqa: E731
+    k, 15, {0: "none @ (22:00-07:00)", 3: "no_left_turn @ (Mo-Fr 07:00-09:00)",
+            6: "no_left_turn @ 08:00-21:00", 9: "gibberish"}
+)
+_Q50_CONDMAIN = lambda k: _case_mod(  # noqa: E731
+    k, 15, {0: "none", 3: "no_left_turn", 6: "no_left_turn"}
+)
+_Q50_CONDCOND = lambda k: _case_mod(  # noqa: E731
+    k, 15, {0: "22:00-07:00", 3: "Mo-Fr 07:00-09:00", 6: "08:00-21:00"}
+)
+_Q50_HGV = lambda k: _case_mod(  # noqa: E731
+    k, 18, {0: "no_left_turn", 6: "no_right_turn", 12: "none"}
+)
+_Q50_HGVC = lambda k: _case_mod(k, 27, {0: "no_right_turn @ (22:00-06:00)"})  # noqa: E731
+_Q50_EXC = lambda k: _case_mod(k, 10, {0: "bicycle", 5: "bicycle; hovercraft"})  # noqa: E731
+_Q50_WHV = lambda k: _case_mod(  # noqa: E731
+    k, 9, {0: "residential", 1: "service", 2: "footway", 3: "primary",
+           4: "track", 5: "path", 6: "secondary", 7: "unclassified", 8: "cycleway"}
+)
+
+
+def _q50_relations(spark, sf_dir) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    r = F.col("o_orderkey")
+    b = (r % 150 + 1).cast("long")
+    v7 = r % 7
+    tags = _tag_entries(
+        ("type", F.lit("restriction")),
+        ("restriction", F.expr(_Q50_RESTR("o_orderkey"))),
+        ("restriction:conditional", F.expr(_Q50_COND("o_orderkey"))),
+        ("restriction:hgv", F.expr(_Q50_HGV("o_orderkey"))),
+        ("restriction:hgv:conditional", F.expr(_Q50_HGVC("o_orderkey"))),
+        ("restriction:spaceship", F.when(r % 25 == 0, F.lit("no_left_turn"))),
+        ("except", F.expr(_Q50_EXC("o_orderkey"))),
+        ("day_on", F.when(r % 14 == 0, F.lit("Mo"))),
+        ("note", F.when(r % 2 == 0, F.lit("x"))),
+        ("maxweight", F.when(r % 35 == 0, F.lit("5"))),
+    )
+
+    def mem(mtype, ref, role, cond=None):
+        s = F.struct(
+            F.lit(mtype).alias("type"), ref.cast("long").alias("ref"),
+            F.lit(role).alias("role"),
+        )
+        return s if cond is None else F.when(cond, s)
+
+    members = F.filter(
+        F.array(
+            mem("way", b, "from"),
+            mem("way", b + 2, "from", v7 == 4),
+            mem("node", b + 1, "via", v7.isin(0, 1, 4, 5)),
+            mem("way", b + 1, "via", v7 == 2),
+            mem("node", b + 100000, "via", v7 == 6),
+            mem(
+                "way",
+                F.when(v7 == 1, b + 3).when(v7 == 2, b + 2).otherwise(b + 1),
+                "to",
+            ),
+            mem("node", b, "stop", v7 == 5),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return o.select(r.alias("id"), tags.alias("tags"), members.alias("members"))
+
+
+def _q50_ways(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = F.col("p_partkey").cast("long")
+    node_ids = F.when(w % 4 == 0, F.array(w, w + 2, w + 1)).otherwise(
+        F.array(w, w + 100000, w + 1)
+    )
+    tags = _tag_entries(
+        ("highway", F.expr(_Q50_WHV("p_partkey"))),
+        ("junction", F.when(w % 20 == 0, F.lit("roundabout"))),
+    )
+    return p.select(w.alias("id"), tags.alias("tags"), node_ids.alias("node_ids"))
+
+
+def q50_turn_restrictions(spark, sf_dir):
+    """RestrictionRelationAnalyzer end-to-end: tag grammar, per-mode
+    conditional pairing, member-role structure, from->via->to chain
+    connectivity, pointless two-way-node turns, and inter-conflicting /
+    duplicate restriction groups — one issue row each."""
+    from osmalyzer_spark.plans.restrictions import turn_restriction_check
+
+    return turn_restriction_check(
+        _q50_relations(spark, sf_dir), _q50_ways(spark, sf_dir)
+    )
+
+
+def _q50_oracle_sql() -> str:
+    from osmalyzer_spark.plans.restrictions import (
+        BRANCHING_HIGHWAY_VALUES,
+        DIRECTIONAL_VALUES,
+        KNOWN_RESTRICTION_VALUES,
+    )
+
+    known = ", ".join(f"'{v}'" for v in KNOWN_RESTRICTION_VALUES)
+    directional = ", ".join(f"'{v}'" for v in DIRECTIONAL_VALUES)
+    allowed_hw = ", ".join(f"'{v}'" for v in BRANCHING_HIGHWAY_VALUES)
+    k = "rel"
+    return f"""
+    WITH r AS (
+        SELECT o_orderkey AS rel, (o_orderkey % 150 + 1) AS b,
+               o_orderkey % 7 AS v7
+        FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    entries AS (
+        SELECT rel, '' AS mode, false AS is_cond,
+               CASE WHEN {_Q50_RESTR(k)} IN ({known})
+                    THEN 'simple' ELSE 'unknown' END AS vclass,
+               {_Q50_RESTR(k)} AS main, NULL AS cond,
+               'restriction' AS key, {_Q50_RESTR(k)} AS value
+        FROM r WHERE {_Q50_RESTR(k)} IS NOT NULL
+        UNION ALL
+        SELECT rel, '', true,
+               CASE WHEN {_Q50_CONDMAIN(k)} IS NOT NULL
+                    THEN 'cond' ELSE 'unknown' END,
+               {_Q50_CONDMAIN(k)}, {_Q50_CONDCOND(k)},
+               'restriction:conditional', {_Q50_COND(k)}
+        FROM r WHERE {_Q50_COND(k)} IS NOT NULL
+        UNION ALL
+        SELECT rel, 'hgv', false, 'simple', {_Q50_HGV(k)}, NULL,
+               'restriction:hgv', {_Q50_HGV(k)}
+        FROM r WHERE {_Q50_HGV(k)} IS NOT NULL
+        UNION ALL
+        SELECT rel, 'hgv', true, 'cond', 'no_right_turn', '22:00-06:00',
+               'restriction:hgv:conditional', {_Q50_HGVC(k)}
+        FROM r WHERE {_Q50_HGVC(k)} IS NOT NULL
+    ),
+    tag_issues AS (
+        SELECT rel, 'unknown_restriction_value' AS issue,
+               key || '=' || value AS detail
+        FROM entries WHERE vclass = 'unknown'
+        UNION ALL
+        SELECT rel, 'unknown_tag', 'restriction:spaceship=no_left_turn'
+        FROM r WHERE rel % 25 = 0
+        UNION ALL
+        SELECT rel, 'unknown_tag', 'maxweight=5' FROM r WHERE rel % 35 = 0
+        UNION ALL
+        SELECT rel, 'deprecated_tag', 'day_on=Mo' FROM r WHERE rel % 14 = 0
+        UNION ALL
+        SELECT rel, 'unknown_exception_mode', 'hovercraft'
+        FROM r WHERE rel % 10 = 5
+    ),
+    pm AS (
+        SELECT rel, mode,
+               max(CASE WHEN NOT is_cond THEN vclass END) AS p_vclass,
+               max(CASE WHEN NOT is_cond THEN main END) AS p_main,
+               max(CASE WHEN is_cond THEN vclass END) AS c_vclass,
+               max(CASE WHEN is_cond THEN main END) AS c_main,
+               max(CASE WHEN is_cond THEN cond END) AS c_cond
+        FROM entries GROUP BY 1, 2
+    ),
+    pair_issues AS (
+        SELECT rel, 'flipped_conditional' AS issue,
+               mode || ':' || p_main || ' vs none @ ' || c_cond AS detail
+        FROM pm WHERE p_vclass = 'simple' AND p_main <> 'none'
+                  AND c_vclass = 'cond' AND c_main = 'none'
+        UNION ALL
+        SELECT rel, 'redundant_conditional', mode || ':' || p_main
+        FROM pm WHERE p_vclass = 'simple' AND c_vclass = 'cond'
+                  AND p_main = c_main
+        UNION ALL
+        SELECT rel, 'pointless_none', mode
+        FROM pm WHERE p_vclass = 'simple' AND p_main = 'none'
+                  AND c_vclass IS NULL
+    ),
+    pr AS (
+        SELECT rel,
+               list_sort(list(DISTINCT main)
+                   FILTER (WHERE vclass IN ('simple', 'cond'))) AS base_values,
+               list_sort(list(DISTINCT mode)) AS modes
+        FROM entries GROUP BY 1
+    ),
+    pr2 AS (
+        SELECT rel, base_values, modes,
+               list_filter(base_values, v -> v <> 'none') AS non_none
+        FROM pr
+    ),
+    cross_issues AS (
+        SELECT rel, 'mixed_restriction_values' AS issue,
+               list_aggregate(base_values, 'string_agg', ',') AS detail
+        FROM pr2 WHERE len(non_none) > 1
+        UNION ALL
+        SELECT rel, 'default_and_mode_specific',
+               list_aggregate(list_filter(modes, m -> m <> ''), 'string_agg', ',')
+        FROM pr2 WHERE len(modes) > 1 AND list_contains(modes, '')
+                   AND len(base_values) = 1
+    ),
+    kind AS (
+        SELECT rel,
+               CASE WHEN len(non_none) = 1 THEN non_none[1] END AS kind
+        FROM pr2
+    ),
+    members AS (
+        SELECT rel, 0 AS pos, 'way' AS mtype, b AS ref, 'from' AS role FROM r
+        UNION ALL SELECT rel, 1, 'way', b + 2, 'from' FROM r WHERE v7 = 4
+        UNION ALL SELECT rel, 2, 'node', b + 1, 'via' FROM r WHERE v7 IN (0, 1, 4, 5)
+        UNION ALL SELECT rel, 2, 'way', b + 1, 'via' FROM r WHERE v7 = 2
+        UNION ALL SELECT rel, 2, 'node', b + 100000, 'via' FROM r WHERE v7 = 6
+        UNION ALL SELECT rel, 3, 'way',
+                         CASE WHEN v7 = 1 THEN b + 3
+                              WHEN v7 = 2 THEN b + 2 ELSE b + 1 END, 'to' FROM r
+        UNION ALL SELECT rel, 4, 'node', b, 'stop' FROM r WHERE v7 = 5
+    ),
+    mcls AS (
+        SELECT rel, pos, mtype, ref, role,
+               CASE WHEN role = 'from' AND mtype = 'way' THEN 'from'
+                    WHEN role = 'to' AND mtype = 'way' THEN 'to'
+                    WHEN role = 'via' AND mtype = 'node' THEN 'via_node'
+                    WHEN role = 'via' AND mtype = 'way' THEN 'via_way'
+                    ELSE 'unknown' END AS cls
+        FROM members
+    ),
+    member_issues AS (
+        SELECT rel, 'invalid_member' AS issue, role || '/' || mtype AS detail
+        FROM mcls WHERE cls = 'unknown'
+    ),
+    mc AS (
+        SELECT r.rel,
+               count(*) FILTER (WHERE cls = 'from') AS n_from,
+               count(*) FILTER (WHERE cls = 'to') AS n_to,
+               count(*) FILTER (WHERE cls IN ('via_node', 'via_way')) AS n_via,
+               count(*) FILTER (WHERE cls = 'via_node') AS n_via_node,
+               count(*) FILTER (WHERE cls = 'via_way') AS n_via_way,
+               count(DISTINCT CASE WHEN cls IN ('via_node', 'via_way')
+                     THEN mtype || '/' || CAST(ref AS VARCHAR) END) AS n_via_distinct,
+               COALESCE(list_has_any(
+                   list(DISTINCT mtype || '/' || CAST(ref AS VARCHAR))
+                       FILTER (WHERE cls IN ('via_node', 'via_way')),
+                   list(DISTINCT 'way/' || CAST(ref AS VARCHAR))
+                       FILTER (WHERE cls = 'from')), false) AS via_eq_from,
+               COALESCE(list_has_any(
+                   list(DISTINCT mtype || '/' || CAST(ref AS VARCHAR))
+                       FILTER (WHERE cls IN ('via_node', 'via_way')),
+                   list(DISTINCT 'way/' || CAST(ref AS VARCHAR))
+                       FILTER (WHERE cls = 'to')), false) AS via_eq_to,
+               arg_min(ref, pos) FILTER (WHERE cls = 'from') AS from_ref,
+               arg_min(ref, pos) FILTER (WHERE cls = 'to') AS to_ref,
+               min(CASE WHEN cls = 'via_node' THEN ref END) AS via_node_ref,
+               arg_min(mtype, pos) FILTER (WHERE cls IN ('via_node', 'via_way')) AS via_type,
+               arg_min(ref, pos) FILTER (WHERE cls IN ('via_node', 'via_way')) AS via_ref
+        FROM r LEFT JOIN mcls m ON m.rel = r.rel
+        GROUP BY 1
+    ),
+    mk AS (
+        SELECT mc.*, k.kind,
+               kind IN ('no_u_turn', 'only_u_turn') AS is_uturn
+        FROM mc LEFT JOIN kind k USING (rel)
+    ),
+    role_rows AS (
+        SELECT rel, 'missing_from' AS issue FROM mk WHERE n_from = 0
+        UNION ALL SELECT rel, 'multiple_from' FROM mk
+            WHERE n_from > 1 AND COALESCE(kind, '') <> 'no_entry'
+        UNION ALL SELECT rel, 'missing_to' FROM mk WHERE n_to = 0
+        UNION ALL SELECT rel, 'multiple_to' FROM mk
+            WHERE n_to > 1 AND COALESCE(kind, '') <> 'no_exit'
+        UNION ALL SELECT rel, 'missing_via' FROM mk WHERE n_via = 0
+        UNION ALL SELECT rel, 'via_as_way' FROM mk
+            WHERE n_via = 1 AND n_via_way = 1 AND NOT COALESCE(is_uturn, false)
+        UNION ALL SELECT rel, 'via_mixed_multiple' FROM mk
+            WHERE n_via > 1 AND COALESCE(is_uturn, false) AND n_via_node > 0
+        UNION ALL SELECT rel, 'via_repeated' FROM mk
+            WHERE n_via > 1 AND COALESCE(is_uturn, false)
+              AND n_via_distinct < n_via
+        UNION ALL SELECT rel, 'multiple_via' FROM mk
+            WHERE n_via > 1 AND NOT COALESCE(is_uturn, false)
+        UNION ALL SELECT rel, 'via_equals_from' FROM mk
+            WHERE n_via > 0 AND via_eq_from
+        UNION ALL SELECT rel, 'via_equals_to' FROM mk
+            WHERE n_via > 0 AND via_eq_to
+    ),
+    ok AS (
+        SELECT mk.* FROM mk
+        WHERE NOT EXISTS (SELECT 1 FROM role_rows rr WHERE rr.rel = mk.rel)
+    ),
+    -- way endpoints by the road-graph construction: w runs w -> w+1
+    chains AS (
+        SELECT o.rel, o.kind, o.n_via, o.n_via_node, o.via_node_ref,
+               CASE WHEN o.via_type = 'node' THEN
+                        o.via_ref IN (o.from_ref, o.from_ref + 1)
+                        AND o.via_ref IN (o.to_ref, o.to_ref + 1)
+                    ELSE
+                        (o.from_ref = o.via_ref OR o.from_ref = o.via_ref + 1
+                         OR o.from_ref + 1 = o.via_ref OR o.from_ref + 1 = o.via_ref + 1)
+                        AND (o.to_ref = o.via_ref OR o.to_ref = o.via_ref + 1
+                         OR o.to_ref + 1 = o.via_ref OR o.to_ref + 1 = o.via_ref + 1)
+               END AS chained
+        FROM ok o
+    ),
+    chain_issues AS (
+        SELECT rel, 'not_chained' AS issue, '' AS detail
+        FROM chains WHERE NOT chained
+    ),
+    hw AS (
+        SELECT p_partkey AS w, {_Q50_WHV("p_partkey")} AS hv,
+               (p_partkey % 20 = 0) AS rb
+        FROM part
+    ),
+    contrib AS (
+        SELECT w AS node_id, 1 AS c FROM hw WHERE hv IN ({allowed_hw})
+        UNION ALL
+        SELECT w + 1, 1 FROM hw WHERE hv IN ({allowed_hw})
+        UNION ALL
+        SELECT CASE WHEN w % 4 = 0 THEN w + 2 ELSE w + 100000 END,
+               CASE WHEN rb THEN 1 ELSE 2 END
+        FROM hw WHERE hv IN ({allowed_hw})
+    ),
+    branching AS (SELECT node_id, SUM(c) AS n FROM contrib GROUP BY 1),
+    pointless AS (
+        SELECT c.rel, 'pointless_turn' AS issue, c.kind AS detail
+        FROM chains c LEFT JOIN branching br ON br.node_id = c.via_node_ref
+        WHERE c.chained AND c.kind IN ({directional})
+          AND c.n_via = 1 AND c.n_via_node = 1
+          AND COALESCE(br.n, 0) <= 2
+    ),
+    comp AS (
+        SELECT mk.rel, mk.from_ref, mk.via_node_ref, mk.to_ref, mk.kind
+        FROM mk
+        JOIN pr2 ON pr2.rel = mk.rel AND list_contains(pr2.modes, '')
+        WHERE mk.n_from = 1 AND mk.n_to = 1 AND mk.n_via = 1
+          AND mk.n_via_node = 1 AND mk.kind IN ({known})
+    ),
+    grp AS (
+        SELECT from_ref, via_node_ref, to_ref, count(*) AS n,
+               list_sort(list(DISTINCT kind)) AS kinds
+        FROM comp GROUP BY 1, 2, 3 HAVING count(*) > 1
+    ),
+    conflict_issues AS (
+        SELECT c.rel,
+               CASE WHEN len(g.kinds) > 1 THEN 'conflicting_restrictions'
+                    ELSE 'duplicate_restrictions' END AS issue,
+               CASE WHEN len(g.kinds) > 1
+                    THEN list_aggregate(g.kinds, 'string_agg', ',')
+                    ELSE g.kinds[1] END AS detail
+        FROM comp c
+        JOIN grp g ON g.from_ref = c.from_ref
+                  AND g.via_node_ref = c.via_node_ref AND g.to_ref = c.to_ref
+    )
+    SELECT rel AS relation_id, issue, detail FROM tag_issues
+    UNION ALL SELECT rel, issue, detail FROM pair_issues
+    UNION ALL SELECT rel, issue, detail FROM cross_issues
+    UNION ALL SELECT rel, issue, detail FROM member_issues
+    UNION ALL SELECT rel, issue, '' FROM role_rows
+    UNION ALL SELECT rel, issue, detail FROM chain_issues
+    UNION ALL SELECT rel, issue, detail FROM pointless
+    UNION ALL SELECT rel, issue, detail FROM conflict_issues
+"""
+
+
+_ORACLES["q50_turn_restrictions"] = _q50_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3543,6 +3918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_street_continuity": q47_street_continuity,
         "q48_speed_limits": q48_speed_limits,
         "q49_lone_crossings": q49_lone_crossings,
+        "q50_turn_restrictions": q50_turn_restrictions,
     }
 
 
