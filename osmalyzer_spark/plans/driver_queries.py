@@ -3867,6 +3867,87 @@ def _q50_oracle_sql() -> str:
 _ORACLES["q50_turn_restrictions"] = _q50_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q51 — NonDefiningTaggingAnalyzer (validators.non_defining_tagging)
+#
+# Elements over part (type by id%3) with nine modulo-present keys that
+# exercise the taxonomy paths: good exact (building), good prefix
+# (disused:shop), per-type-targeted good (type->relations only,
+# cycleway->nodes, maritime->ways), poor (source), editorial (note),
+# strippable prefix (addr:street), and unmatched (foobar). The oracle
+# constant-folds each key's match strength per element type.
+# --------------------------------------------------------------------------
+
+_Q51_TYPE = lambda k: _case_mod(k, 3, {0: "node", 1: "way", 2: "relation"})  # noqa: E731
+# key -> (presence modulus, value, SQL condition template for 'good')
+_Q51_KEYS: dict[str, int] = {
+    "building": 5, "disused:shop": 7, "type": 9, "cycleway": 13,
+    "maritime": 17, "source": 4, "note": 6, "addr:street": 8, "foobar": 10,
+}
+
+
+def _q51_elements(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    tags = _tag_entries(
+        *[(key, F.when(i % m == 0, F.lit("v"))) for key, m in _Q51_KEYS.items()]
+    )
+    return p.select(
+        i.alias("id"), F.expr(_Q51_TYPE("p_partkey")).alias("type"), tags.alias("tags")
+    )
+
+
+def q51_non_defining_tags(spark, sf_dir):
+    """NonDefiningTaggingAnalyzer: elements whose keys never match a
+    good defining-taxonomy row — poorly-defining when a poor key
+    (source) is the best match, non-defining when unmatched keys remain
+    after editorial/strippable ones."""
+    from osmalyzer_spark.plans.validators import non_defining_tagging
+
+    return non_defining_tagging(_q51_elements(spark, sf_dir))
+
+
+def _q51_oracle_sql() -> str:
+    keys_sorted = sorted(_Q51_KEYS)
+    key_arms = ", ".join(
+        f"CASE WHEN id % {_Q51_KEYS[kk]} = 0 THEN '{kk}' END" for kk in keys_sorted
+    )
+    return f"""
+    WITH e AS (
+        SELECT p_partkey AS id, {_Q51_TYPE("p_partkey")} AS type FROM part
+    ),
+    cls AS (
+        SELECT id, type,
+               (id % 5 = 0) OR (id % 7 = 0)
+                OR (id % 9 = 0 AND type = 'relation')
+                OR (id % 13 = 0 AND type = 'node')
+                OR (id % 17 = 0 AND type = 'way') AS has_good,
+               (id % 4 = 0) AS has_poor,
+               (id % 10 = 0)
+                OR (id % 9 = 0 AND type <> 'relation')
+                OR (id % 13 = 0 AND type <> 'node')
+                OR (id % 17 = 0 AND type <> 'way') AS has_unmatched,
+               list_aggregate(
+                   list_sort(list_filter([{key_arms}], x -> x IS NOT NULL)),
+                   'string_agg', ','
+               ) AS all_keys
+        FROM e
+        WHERE (id % 5 = 0) OR (id % 7 = 0) OR (id % 9 = 0) OR (id % 13 = 0)
+           OR (id % 17 = 0) OR (id % 4 = 0) OR (id % 6 = 0) OR (id % 8 = 0)
+           OR (id % 10 = 0)
+    )
+    SELECT id AS elem_id, type,
+           CASE WHEN has_poor THEN 'poorly_defining'
+                ELSE 'non_defining' END AS category,
+           CASE WHEN has_poor THEN 'source' ELSE all_keys END AS detail
+    FROM cls
+    WHERE NOT has_good AND (has_poor OR has_unmatched)
+"""
+
+
+_ORACLES["q51_non_defining_tags"] = _q51_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3919,6 +4000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_speed_limits": q48_speed_limits,
         "q49_lone_crossings": q49_lone_crossings,
         "q50_turn_restrictions": q50_turn_restrictions,
+        "q51_non_defining_tags": q51_non_defining_tags,
     }
 
 

@@ -162,16 +162,21 @@ def barrier_connections(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     `barrier` tag), the highway is an explicit area, or a closed
     platform. Output: one row per (node, barrier way, highway way).
     """
-    barriers = ways.filter(
-        has_key("tags", "barrier")
-        & ~get_value("tags", "barrier").isin(PASSABLE_BARRIERS)
-    )
-    bn = _way_nodes(barriers, "barrier_id").join(
-        barriers.select(
+    # tag values ride the explode (distinct over (way, value, node) ==
+    # distinct over (way, node): value is functionally dependent on the
+    # way), so no self-join is needed to re-attach them — the only
+    # shuffles left are the node-id equi-join and the anti-join
+    bn = (
+        ways.filter(
+            has_key("tags", "barrier")
+            & ~get_value("tags", "barrier").isin(PASSABLE_BARRIERS)
+        )
+        .select(
             F.col("id").alias("barrier_id"),
             get_value("tags", "barrier").alias("barrier_value"),
-        ),
-        "barrier_id",
+            F.explode("node_ids").alias("node_id"),
+        )
+        .distinct()
     )
     # gate-or-something nodes are fine (BarrierConnectionAnalyzer.cs:65-66)
     gate_nodes = nodes.filter(has_key("tags", "barrier")).select(
@@ -179,19 +184,20 @@ def barrier_connections(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     bn = bn.join(gate_nodes, "node_id", "left_anti")
 
-    highways = ways.filter(
-        has_key("tags", "highway")
-        # explicit areas connect to tons of things legitimately (:81-84)
-        & (F.coalesce(get_value("tags", "area"), F.lit("")) != "yes")
-        # closed platforms are implicit areas (:88-89)
-        & ~((get_value("tags", "highway") == "platform") & _closed(ways))
-    )
-    hn = _way_nodes(highways, "highway_id").join(
-        highways.select(
+    hn = (
+        ways.filter(
+            has_key("tags", "highway")
+            # explicit areas connect to tons of things legitimately (:81-84)
+            & (F.coalesce(get_value("tags", "area"), F.lit("")) != "yes")
+            # closed platforms are implicit areas (:88-89)
+            & ~((get_value("tags", "highway") == "platform") & _closed(ways))
+        )
+        .select(
             F.col("id").alias("highway_id"),
             get_value("tags", "highway").alias("highway_value"),
-        ),
-        "highway_id",
+            F.explode("node_ids").alias("node_id"),
+        )
+        .distinct()
     )
     return (
         bn.join(hn, "node_id")
@@ -210,14 +216,20 @@ def bridge_water_connections(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     and the average coordinate of the connection points
     (OsmGeoTools.GetAverageCoord over the node list).
     """
-    bridges = ways.filter(has_key("tags", "bridge"))
-    waterways = ways.filter(
-        has_key("tags", "waterway") & (get_value("tags", "waterway") != "dam")
+    bridges = (
+        ways.filter(has_key("tags", "bridge"))
+        .select(F.col("id").alias("bridge_id"), F.explode("node_ids").alias("node_id"))
+        .distinct()
     )
-    pairs = (
-        _way_nodes(bridges, "bridge_id")
-        .join(_way_nodes(waterways, "waterway_id"), "node_id")
-        .filter(F.col("bridge_id") != F.col("waterway_id"))
+    waterways = (
+        ways.filter(
+            has_key("tags", "waterway") & (get_value("tags", "waterway") != "dam")
+        )
+        .select(F.col("id").alias("waterway_id"), F.explode("node_ids").alias("node_id"))
+        .distinct()
+    )
+    pairs = bridges.join(waterways, "node_id").filter(
+        F.col("bridge_id") != F.col("waterway_id")
     )
     return (
         pairs.join(nodes.select(F.col("id").alias("node_id"), "lat", "lon"), "node_id")
@@ -649,4 +661,178 @@ def lone_crossings(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         flags.withColumn("category", category)
         .filter(F.col("category").isNotNull())
         .select("node_id", "category")
+    )
+
+
+# The reference's feature-defining-keys taxonomy
+# (data/feature defining keys.tsv, loaded by
+# NonDefiningTaggingAnalyzer.cs:33-45): (key, strength, method, targets)
+# in FILE ORDER — matching is first-row-wins per element key. targets is
+# a subset of "nwr" (node/way/relation).
+DEFINING_KEYS: list[tuple[str, str, str, str]] = [
+    ("source", "poor", "exact", "nwr"),
+    ("note", "editorial", "exact", "nwr"),
+    ("fixme", "editorial", "exact", "nwr"),
+    ("building", "good", "exact", "nwr"),
+    ("highway", "good", "exact", "nwr"),
+    ("addr:", "strippable", "prefix", "nwr"),
+    ("old_addr:", "strippable", "prefix", "nwr"),
+    ("ref:LV:addr", "strippable", "exact", "nwr"),
+    ("type", "good", "exact", "r"),
+    ("landuse", "good", "exact", "nwr"),
+    ("natural", "good", "exact", "nwr"),
+    ("power", "good", "exact", "nwr"),
+    ("waterway", "good", "exact", "nwr"),
+    ("amenity", "good", "exact", "nwr"),
+    ("barrier", "good", "exact", "nwr"),
+    ("leisure", "good", "exact", "nwr"),
+    ("crossing", "good", "exact", "nwr"),
+    ("railway", "good", "exact", "nwr"),
+    ("railway:historic", "good", "exact", "nwr"),
+    ("man_made", "good", "exact", "nwr"),
+    ("shop", "good", "exact", "nwr"),
+    ("water", "good", "exact", "nwr"),
+    ("entrance", "good", "exact", "nwr"),
+    ("tourism", "good", "exact", "nwr"),
+    ("boundary", "good", "exact", "nwr"),
+    ("building:part", "good", "exact", "nwr"),
+    ("place", "good", "exact", "nwr"),
+    ("public_transport", "good", "exact", "nwr"),
+    ("traffic_calming", "good", "exact", "nwr"),
+    ("historic", "good", "exact", "nwr"),
+    ("disused:", "good", "prefix", "nwr"),
+    ("proposed:", "good", "prefix", "nwr"),
+    ("planned:", "good", "prefix", "nwr"),
+    ("construction:", "good", "prefix", "nwr"),
+    ("abandoned:", "good", "prefix", "nwr"),
+    ("ruins:", "good", "prefix", "nwr"),
+    ("demolished:", "good", "prefix", "nwr"),
+    ("removed:", "good", "prefix", "nwr"),
+    ("destroyed:", "good", "prefix", "nwr"),
+    ("historic:", "good", "prefix", "nwr"),
+    ("was:", "good", "prefix", "nwr"),
+    ("razed:", "good", "prefix", "nwr"),
+    ("kerb", "good", "exact", "nwr"),
+    ("emergency", "good", "exact", "nwr"),
+    ("seamark:type", "good", "exact", "nwr"),
+    ("aeroway", "good", "exact", "nwr"),
+    ("aerialway", "good", "exact", "nwr"),
+    ("noexit", "good", "exact", "nwr"),
+    ("traffic_sign", "good", "exact", "nwr"),
+    ("military", "good", "exact", "nwr"),
+    ("playground", "good", "exact", "nwr"),
+    ("area:", "good", "prefix", "nwr"),
+    ("piste:type", "good", "exact", "nwr"),
+    ("bridge:support", "good", "exact", "nwr"),
+    ("ford", "good", "exact", "nwr"),
+    ("road_marking", "good", "exact", "nwr"),
+    ("attraction", "good", "exact", "nwr"),
+    ("advertising", "good", "exact", "nwr"),
+    ("marker", "good", "exact", "nwr"),
+    ("defensive_works", "good", "exact", "nwr"),
+    ("fitness_station", "good", "exact", "nwr"),
+    ("hazard", "good", "exact", "nwr"),
+    ("route", "good", "exact", "nwr"),
+    ("indoor", "good", "exact", "nwr"),
+    ("government", "good", "exact", "nwr"),
+    ("generator:type", "good", "exact", "nwr"),
+    ("office", "good", "exact", "nwr"),
+    ("cemetery", "good", "exact", "nwr"),
+    ("airmark", "good", "exact", "nwr"),
+    ("craft", "good", "exact", "nwr"),
+    ("golf", "good", "exact", "nwr"),
+    ("disc_golf", "good", "exact", "nwr"),
+    ("club", "good", "exact", "nwr"),
+    ("telecom", "good", "exact", "nwr"),
+    ("xmas:feature", "good", "exact", "nwr"),
+    ("allotments", "good", "exact", "nwr"),
+    ("healthcare", "good", "exact", "nwr"),
+    ("pipeline", "good", "exact", "nwr"),
+    ("cycleway", "good", "exact", "n"),
+    ("junction", "good", "exact", "nwr"),
+    ("maxspeed", "good", "exact", "n"),
+    ("whitewater", "good", "exact", "nwr"),
+    ("canoe", "good", "exact", "nwr"),
+    ("raceway", "good", "exact", "n"),
+    ("geological", "good", "exact", "nwr"),
+    ("maritime", "good", "exact", "w"),
+    ("roller_coaster", "good", "exact", "w"),
+    ("window", "good", "exact", "n"),
+]
+
+
+def non_defining_tagging(elements: DataFrame, taxonomy=None) -> DataFrame:
+    """Elements whose tags do not define a feature
+    (NonDefiningTaggingAnalyzer.cs:16-280).
+
+    Every element key is matched against the defining-keys taxonomy —
+    first row wins, method exact/prefix/suffix (prefix/suffix require
+    the key to be strictly LONGER than the pattern, :215-221), and the
+    row must target the element's type. Classification (:231-280):
+    any good match => a feature, skip; else any poor match =>
+    'poorly_defining'; else if every key matched (editorial/strippable
+    only) => skip; else 'non_defining'. (The reference then applies the
+    fuzzy-loose Latvia polygon before reporting — compose upstream.)
+
+    elements: (id, type, tags). Output: (elem_id, type, category,
+    detail) — detail is the lexicographically-first poor-matched key
+    for 'poorly_defining' (the reference takes the first in tag order,
+    which is source-file order and not relationally reproducible), or
+    the sorted comma-joined key list for 'non_defining'.
+
+    Scale: the taxonomy (<100 rows) broadcasts into a nested-loop match
+    per exploded key; everything else is one groupBy on element id.
+    """
+    spark = elements.sparkSession
+    tax_rows = taxonomy if taxonomy is not None else DEFINING_KEYS
+    tax = F.broadcast(
+        spark.createDataFrame(
+            [(i, k, s, m, t) for i, (k, s, m, t) in enumerate(tax_rows)],
+            "idx int, tkey string, strength string, method string, targets string",
+        )
+    )
+    keys = elements.select(
+        F.col("id").alias("elem_id"),
+        F.col("type"),
+        F.explode(F.map_keys("tags")).alias("key"),
+    )
+    type_ok = F.col("targets").contains(F.substring(F.col("type"), 1, 1))
+    strictly_longer = F.length("key") > F.length("tkey")
+    method_ok = (
+        ((F.col("method") == "exact") & (F.col("key") == F.col("tkey")))
+        | (
+            (F.col("method") == "prefix")
+            & strictly_longer
+            & F.col("key").startswith(F.col("tkey"))
+        )
+        | (
+            (F.col("method") == "suffix")
+            & strictly_longer
+            & F.col("key").endswith(F.col("tkey"))
+        )
+    )
+    matched = keys.join(tax, type_ok & method_ok, "left").groupBy(
+        "elem_id", "type", "key"
+    ).agg(F.min_by("strength", "idx").alias("strength"))
+    per_elem = matched.groupBy("elem_id", "type").agg(
+        F.count(F.when(F.col("strength") == "good", 1)).alias("n_good"),
+        F.count(F.when(F.col("strength") == "poor", 1)).alias("n_poor"),
+        F.count(F.when(F.col("strength").isNull(), 1)).alias("n_unmatched"),
+        F.min(F.when(F.col("strength") == "poor", F.col("key"))).alias("first_poor"),
+        F.concat_ws(",", F.array_sort(F.collect_list("key"))).alias("all_keys"),
+    )
+    category = F.when(F.col("n_good") > 0, F.lit(None)).when(
+        F.col("n_poor") > 0, F.lit("poorly_defining")
+    ).when(F.col("n_unmatched") == 0, F.lit(None)).otherwise(F.lit("non_defining"))
+    return (
+        per_elem.withColumn("category", category)
+        .filter(F.col("category").isNotNull())
+        .select(
+            "elem_id",
+            "type",
+            "category",
+            F.when(F.col("category") == "poorly_defining", F.col("first_poor"))
+            .otherwise(F.col("all_keys"))
+            .alias("detail"),
+        )
     )

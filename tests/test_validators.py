@@ -510,3 +510,71 @@ def test_lone_crossing_pedestrian_counts_both(spark):
     ways = _ways(spark, [(1, {"highway": "pedestrian"}, [10])])
     nodes = _nodes(spark, [(10, {"highway": "crossing"})])
     assert lone_crossings(ways, nodes).count() == 0
+
+
+# --------------------------------------------------------------------- q51
+
+
+def _elements(spark, rows):
+    # rows: (id, type, {tag: value})
+    return spark.createDataFrame(
+        list(rows), "id long, type string, tags map<string,string>"
+    )
+
+
+def test_non_defining_classification(spark):
+    from osmalyzer_spark.plans.validators import non_defining_tagging
+
+    els = _elements(
+        spark,
+        [
+            (1, "node", {"building": "yes", "source": "survey"}),  # good -> skip
+            (2, "node", {"source": "survey", "name": "X"}),        # poor wins
+            (3, "node", {"name": "X", "note": "y"}),               # unmatched name
+            (4, "node", {"note": "y", "addr:street": "A"}),        # all editorial/strippable -> skip
+            (5, "node", {}),                                       # no tags -> skip
+        ],
+    )
+    out = {r.elem_id: (r.category, r.detail) for r in non_defining_tagging(els).collect()}
+    assert out == {
+        2: ("poorly_defining", "source"),
+        3: ("non_defining", "name,note"),
+    }
+
+
+def test_non_defining_type_targets_and_prefix(spark):
+    from osmalyzer_spark.plans.validators import non_defining_tagging
+
+    els = _elements(
+        spark,
+        [
+            # type= defines only relations (data/feature defining keys.tsv)
+            (1, "relation", {"type": "multipolygon"}),
+            (2, "node", {"type": "multipolygon"}),
+            # lifecycle prefix requires a STRICTLY longer key
+            (3, "way", {"disused:shop": "yes"}),
+            (4, "way", {"disused:": "yes"}),  # equal length -> no match
+            # maxspeed defines nodes but not ways (signs vs roads)
+            (5, "node", {"maxspeed": "90"}),
+            (6, "way", {"maxspeed": "90"}),
+        ],
+    )
+    out = {r.elem_id: r.category for r in non_defining_tagging(els).collect()}
+    assert out == {2: "non_defining", 4: "non_defining", 6: "non_defining"}
+
+
+def test_non_defining_suffix_method(spark):
+    from osmalyzer_spark.plans.validators import non_defining_tagging
+
+    # the table format supports suffix rules even though the current
+    # reference table has none — gate the mechanics with a custom row
+    tax = [("_custom", "good", "suffix", "nwr")]
+    els = _elements(
+        spark,
+        [
+            (1, "node", {"shop_custom": "x"}),
+            (2, "node", {"_custom": "x"}),  # equal length -> no match
+        ],
+    )
+    out = {r.elem_id: r.category for r in non_defining_tagging(els, taxonomy=tax).collect()}
+    assert out == {2: "non_defining"}
