@@ -3948,6 +3948,76 @@ def _q51_oracle_sql() -> str:
 _ORACLES["q51_non_defining_tags"] = _q51_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q52 — SpellingAnalyzer (validators.spelling_check)
+#
+# Named elements over part (name class by id%10) against an embedded
+# dictionary: clean names, a misspelling, protected '/' uses (A/S,
+# 24/7), a multi-part name whose second part matches name:et (skipped),
+# one whose second part doesn't (reported), a platform with a slash
+# name (slashes preserved, reported whole), punctuation trim, and a
+# per-id varying name family (Gatve G<id%7>) for grouping variety. The
+# oracle constant-folds each class's expected (value, part, words).
+# --------------------------------------------------------------------------
+
+_Q52_DICT = [
+    "Skolas", "iela", "Liela", "parks", "A/S", "Centrs", "Laikupe",
+    "24/7", "veikals", "Abc", "Gatve",
+]
+
+
+def _q52_elements(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    c = i % 10
+    name = (
+        F.when(c == 0, F.lit("Skolas iela"))
+        .when(c == 1, F.lit("Skolas ielaa"))
+        .when(c == 2, F.lit("A/S Centrs"))
+        .when(c == 3, F.lit("Liela iela; Skolas parks"))
+        .when(c == 4, F.lit("Laikupe / Latioja"))
+        .when(c == 5, F.lit("Laikupe / Xyzqw"))
+        .when(c == 6, F.lit("Abc/Def"))
+        .when(c == 7, F.lit("Skolas, iela"))
+        .when(c == 8, F.lit("24/7 veikals"))
+        .otherwise(F.concat(F.lit("Gatve G"), (i % 7).cast("string")))
+    )
+    tags = _tag_entries(
+        ("name", name),
+        ("name:et", F.when(c.isin(4, 5), F.lit("Latioja"))),
+        ("public_transport", F.when(c == 6, F.lit("platform"))),
+    )
+    return p.select(i.alias("id"), tags.alias("tags"))
+
+
+def q52_spelling(spark, sf_dir):
+    """SpellingAnalyzer: misspelled name parts vs a broadcast dictionary
+    — known-'/' protection, platform slash names, foreign-language part
+    skipping via name:xx, punctuation-trimmed tokenization, problems
+    grouped per (value, part) with element counts."""
+    from osmalyzer_spark.plans.validators import spelling_check
+
+    d = spark.createDataFrame([(w,) for w in _Q52_DICT], "word string")
+    return spelling_check(_q52_elements(spark, sf_dir), d)
+
+
+_ORACLES["q52_spelling"] = """
+    WITH e AS (SELECT p_partkey AS id, p_partkey % 10 AS c FROM part)
+    SELECT 'Skolas ielaa' AS value, 'Skolas ielaa' AS part,
+           COUNT(*) AS n_elements, 'ielaa' AS words
+    FROM e WHERE c = 1
+    UNION ALL
+    SELECT 'Laikupe / Xyzqw', 'Xyzqw', COUNT(*), 'Xyzqw' FROM e WHERE c = 5
+    UNION ALL
+    SELECT 'Abc/Def', 'Abc/Def', COUNT(*), 'Abc/Def' FROM e WHERE c = 6
+    UNION ALL
+    SELECT 'Gatve G' || CAST(id % 7 AS VARCHAR),
+           'Gatve G' || CAST(id % 7 AS VARCHAR),
+           COUNT(*), 'G' || CAST(id % 7 AS VARCHAR)
+    FROM e WHERE c = 9 GROUP BY id % 7
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4001,6 +4071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_lone_crossings": q49_lone_crossings,
         "q50_turn_restrictions": q50_turn_restrictions,
         "q51_non_defining_tags": q51_non_defining_tags,
+        "q52_spelling": q52_spelling,
     }
 
 

@@ -140,10 +140,15 @@ def _way_nodes(ways: DataFrame, way_col: str = "way_id") -> DataFrame:
     way.Nodes occurrence-by-occurrence; set semantics match it exactly
     for non-self-intersecting ways (the synthetic fixtures and the vast
     majority of real ways), and collapse the duplicate report rows a
-    repeated node would emit."""
+    repeated node would emit.
+
+    Dedup is MAP-SIDE (array_distinct before the explode): way ids are
+    unique in the element table, so (way, node) duplicates can only
+    come from repeats inside one way's own array — no shuffle needed."""
     return ways.select(
-        F.col("id").alias(way_col), F.explode("node_ids").alias("node_id")
-    ).distinct()
+        F.col("id").alias(way_col),
+        F.explode(F.array_distinct("node_ids")).alias("node_id"),
+    )
 
 
 def _closed(ways: DataFrame) -> F.Column:
@@ -162,21 +167,17 @@ def barrier_connections(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     `barrier` tag), the highway is an explicit area, or a closed
     platform. Output: one row per (node, barrier way, highway way).
     """
-    # tag values ride the explode (distinct over (way, value, node) ==
-    # distinct over (way, node): value is functionally dependent on the
-    # way), so no self-join is needed to re-attach them — the only
+    # tag values ride the explode (no self-join to re-attach them) and
+    # membership dedup is map-side array_distinct (way ids are unique,
+    # so duplicates only arise within one way's array) — the only
     # shuffles left are the node-id equi-join and the anti-join
-    bn = (
-        ways.filter(
-            has_key("tags", "barrier")
-            & ~get_value("tags", "barrier").isin(PASSABLE_BARRIERS)
-        )
-        .select(
-            F.col("id").alias("barrier_id"),
-            get_value("tags", "barrier").alias("barrier_value"),
-            F.explode("node_ids").alias("node_id"),
-        )
-        .distinct()
+    bn = ways.filter(
+        has_key("tags", "barrier")
+        & ~get_value("tags", "barrier").isin(PASSABLE_BARRIERS)
+    ).select(
+        F.col("id").alias("barrier_id"),
+        get_value("tags", "barrier").alias("barrier_value"),
+        F.explode(F.array_distinct("node_ids")).alias("node_id"),
     )
     # gate-or-something nodes are fine (BarrierConnectionAnalyzer.cs:65-66)
     gate_nodes = nodes.filter(has_key("tags", "barrier")).select(
@@ -184,20 +185,16 @@ def barrier_connections(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     bn = bn.join(gate_nodes, "node_id", "left_anti")
 
-    hn = (
-        ways.filter(
-            has_key("tags", "highway")
-            # explicit areas connect to tons of things legitimately (:81-84)
-            & (F.coalesce(get_value("tags", "area"), F.lit("")) != "yes")
-            # closed platforms are implicit areas (:88-89)
-            & ~((get_value("tags", "highway") == "platform") & _closed(ways))
-        )
-        .select(
-            F.col("id").alias("highway_id"),
-            get_value("tags", "highway").alias("highway_value"),
-            F.explode("node_ids").alias("node_id"),
-        )
-        .distinct()
+    hn = ways.filter(
+        has_key("tags", "highway")
+        # explicit areas connect to tons of things legitimately (:81-84)
+        & (F.coalesce(get_value("tags", "area"), F.lit("")) != "yes")
+        # closed platforms are implicit areas (:88-89)
+        & ~((get_value("tags", "highway") == "platform") & _closed(ways))
+    ).select(
+        F.col("id").alias("highway_id"),
+        get_value("tags", "highway").alias("highway_value"),
+        F.explode(F.array_distinct("node_ids")).alias("node_id"),
     )
     return (
         bn.join(hn, "node_id")
@@ -216,17 +213,15 @@ def bridge_water_connections(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     and the average coordinate of the connection points
     (OsmGeoTools.GetAverageCoord over the node list).
     """
-    bridges = (
-        ways.filter(has_key("tags", "bridge"))
-        .select(F.col("id").alias("bridge_id"), F.explode("node_ids").alias("node_id"))
-        .distinct()
+    bridges = ways.filter(has_key("tags", "bridge")).select(
+        F.col("id").alias("bridge_id"),
+        F.explode(F.array_distinct("node_ids")).alias("node_id"),
     )
-    waterways = (
-        ways.filter(
-            has_key("tags", "waterway") & (get_value("tags", "waterway") != "dam")
-        )
-        .select(F.col("id").alias("waterway_id"), F.explode("node_ids").alias("node_id"))
-        .distinct()
+    waterways = ways.filter(
+        has_key("tags", "waterway") & (get_value("tags", "waterway") != "dam")
+    ).select(
+        F.col("id").alias("waterway_id"),
+        F.explode(F.array_distinct("node_ids")).alias("node_id"),
     )
     pairs = bridges.join(waterways, "node_id").filter(
         F.col("bridge_id") != F.col("waterway_id")
@@ -835,4 +830,127 @@ def non_defining_tagging(elements: DataFrame, taxonomy=None) -> DataFrame:
             .otherwise(F.col("all_keys"))
             .alias("detail"),
         )
+    )
+
+
+# SpellingAnalyzer.cs:66-80 — '/' uses that are NOT language separators,
+# protected (case-insensitively) before splitting.
+SPELLING_KNOWN_SLASH_USES = [
+    r"(A)/(S)", r"(T)/(C)", r"(T)/(P)", r"(B)/(C)", r"(a)/(c)",
+    r"(Z)/(S)", r"(K)/(S)", r"(D)/(B)", r"(I)/(U)", r"(\d+\.?)/(\d+)",
+]
+
+# ImproperTranslationAnalyzer.cs:454-480 ExtractLanguage — name: subkeys
+# that are NOT language codes.
+NAME_NON_LANGUAGE_KEYS = [
+    "name:left", "name:right", "name:wikipedia", "name:pronunciation",
+    "name:prefix", "name:suffix", "name:postfix", "name:full",
+    "name:etymology", "name:carnaval", "name:language", "name:source",
+]
+
+_SPELL_TEMP = "�"
+
+
+def _name_language(key) -> F.Column:
+    """ISO code from a name:xx key, null for non-language subkeys
+    (ExtractLanguage, ImproperTranslationAnalyzer.cs:454-480)."""
+    k = key if isinstance(key, F.Column) else F.col(key)
+    bad = (
+        k.isin(NAME_NON_LANGUAGE_KEYS)
+        | (F.size(F.split(k, ":")) > 2)  # sub-sub keys
+        | k.rlike(r"^name:\d+-(\d+)?$")  # date-ranged names
+        | (F.length(k) < 6)
+    )
+    return F.when(~bad & k.startswith("name:"), F.substring(k, 6, 2147483647))
+
+
+def spelling_check(elements: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """Misspelled name parts (SpellingAnalyzer.cs:21-233 +
+    Misc/Spellchecker.cs).
+
+    Names split into parts on ';' and '/' after protecting known '/'
+    uses (A/S, 24/7, ... — platform names keep ALL slashes, :58-62);
+    for multi-part names, a part equal to a non-lv `name:<lang>` value
+    is a foreign-language alternative and skipped (:95-125). Each part
+    tokenizes on whitespace with end punctuation stripped
+    (Spellchecker.cs:16-19 trims the text's own punctuation set, which
+    over its own words equals stripping all punctuation ends); a word
+    is misspelled when no provider accepts it — providers are modeled
+    as ONE broadcast word table (dictionary: a `word` column; the
+    reference's Hunspell morphology is out of sandbox scope, its
+    dictionary-lookup shape is what scales).
+
+    Output: one row per problematic (name value, part) — (value, part,
+    n_elements, words), words in token order. Scale: distinct parts are
+    spellchecked once (the reference's okValues/problems caching) and
+    occurrences join back; the dictionary is broadcast.
+    """
+    name = get_value("tags", "name")
+    els = elements.filter(name.isNotNull())
+    protected_chain = name
+    for pat in SPELLING_KNOWN_SLASH_USES:
+        protected_chain = F.regexp_replace(
+            protected_chain, "(?i)" + pat, "$1" + _SPELL_TEMP + "$2"
+        )
+    protected = F.when(
+        get_value("tags", "public_transport") == "platform",
+        F.translate(name, "/", _SPELL_TEMP),
+    ).otherwise(protected_chain)
+    parts = F.filter(
+        F.transform(
+            F.split(protected, "[;/]"),
+            lambda p: F.translate(F.trim(p), _SPELL_TEMP, "/"),
+        ),
+        lambda p: p != "",
+    )
+    # non-lv language alternatives among name:xx values
+    lang_names = F.map_values(
+        F.map_filter(
+            F.col("tags"),
+            lambda k, v: _name_language(k).isNotNull() & (_name_language(k) != "lv"),
+        )
+    )
+    occ = (
+        els.select(
+            F.col("id").alias("elem_id"),
+            name.alias("value"),
+            parts.alias("parts"),
+            lang_names.alias("foreign"),
+        )
+        .select(
+            "elem_id", "value", F.size("parts").alias("n_parts"), "foreign",
+            F.explode("parts").alias("part"),
+        )
+        .filter(~((F.col("n_parts") > 1) & F.array_contains("foreign", F.col("part"))))
+        .select("elem_id", "value", "part")
+    )
+    # spellcheck each DISTINCT part once (okValues discipline)
+    words = F.filter(
+        F.transform(
+            F.split(F.col("part"), r"\s+"),
+            lambda w: F.regexp_replace(w, r"^\p{P}+|\p{P}+$", ""),
+        ),
+        lambda w: w != "",
+    )
+    part_words = (
+        occ.select("part").distinct()
+        .select("part", F.posexplode(words).alias("pos", "word"))
+    )
+    bad_words = part_words.join(
+        F.broadcast(dictionary.select(F.col("word"))), "word", "left_anti"
+    )
+    bad_parts = bad_words.groupBy("part").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("words")
+    )
+    return (
+        occ.join(bad_parts, "part")
+        .groupBy("value", "part")
+        .agg(F.count(F.lit(1)).alias("n_elements"), F.max("words").alias("words"))
+        .select("value", "part", "n_elements", "words")
     )

@@ -578,3 +578,67 @@ def test_non_defining_suffix_method(spark):
     )
     out = {r.elem_id: r.category for r in non_defining_tagging(els, taxonomy=tax).collect()}
     assert out == {2: "non_defining"}
+
+
+# --------------------------------------------------------------------- q52
+
+
+def _spelling(spark, rows, dict_words):
+    from osmalyzer_spark.plans.validators import spelling_check
+
+    els = _tagged_ways(spark, rows)
+    d = spark.createDataFrame([(w,) for w in dict_words], "word string")
+    return {
+        (r.value, r.part): (r.n_elements, r.words)
+        for r in spelling_check(els, d).collect()
+    }
+
+
+def test_spelling_basic_and_grouping(spark):
+    out = _spelling(
+        spark,
+        [
+            (1, {"name": "Skolas iela"}),
+            (2, {"name": "Skolas ielaa"}),
+            (3, {"name": "Skolas ielaa"}),  # same problem, counted together
+            (4, {"name": "Bad? word!"}),    # punctuation trimmed before check
+        ],
+        ["Skolas", "iela", "Bad", "word"],
+    )
+    assert out == {("Skolas ielaa", "Skolas ielaa"): (2, "ielaa")}
+
+
+def test_spelling_slash_protection_and_platform(spark):
+    out = _spelling(
+        spark,
+        [
+            (1, {"name": "A/S Centrs"}),                    # protected, clean
+            (2, {"name": "24/7 veikals"}),                  # digit slash protected
+            (3, {"name": "Abc/Def", "public_transport": "platform"}),  # kept whole
+            (4, {"name": "Abc/Def"}),                       # split: Def unknown
+        ],
+        ["A/S", "Centrs", "24/7", "veikals", "Abc"],
+    )
+    assert out == {
+        ("Abc/Def", "Abc/Def"): (1, "Abc/Def"),
+        ("Abc/Def", "Def"): (1, "Def"),
+    }
+
+
+def test_spelling_foreign_language_part_skipped(spark):
+    out = _spelling(
+        spark,
+        [
+            # name:et matches the second part -> skipped (SpellingAnalyzer.cs:95-125)
+            (1, {"name": "Laikupe / Latioja", "name:et": "Latioja"}),
+            # name:lv is the checked language and never skips
+            (2, {"name": "Laikupe / Wrongg", "name:lv": "Wrongg"}),
+            # non-language name: subkeys don't skip either
+            (3, {"name": "Laikupe / Wrongg2", "name:etymology": "Wrongg2"}),
+        ],
+        ["Laikupe"],
+    )
+    assert out == {
+        ("Laikupe / Wrongg", "Wrongg"): (1, "Wrongg"),
+        ("Laikupe / Wrongg2", "Wrongg2"): (1, "Wrongg2"),
+    }

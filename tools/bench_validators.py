@@ -64,9 +64,11 @@ def ensure_tables(n: int) -> None:
 
     spark = get_spark("validator-datagen", parallelism=8, shuffle_partitions=32)
     w = spark.range(n).select(F.col("id"))
-    # 5 pseudo-random shared nodes per way over a node space of size n
+    # 5 pseudo-random shared nodes per way over a node space of size n;
+    # xxhash64 avoids modular-arithmetic artifacts (an affine formula
+    # made bridge/waterway classes node-disjoint at some n)
     node_ids = F.array(
-        *[((F.col("id") * 31 + i * 2654435761) % n) for i in range(5)]
+        *[F.abs(F.xxhash64(F.col("id"), F.lit(i))) % n for i in range(5)]
     )
     tags = F.map_from_entries(
         F.filter(
