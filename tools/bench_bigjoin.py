@@ -166,7 +166,7 @@ def main() -> None:
                 "high": hi,
                 "scaling_efficiency_raw": round(raw, 3),
                 "calibration_drift_low_over_high": round(drift, 3),
-                "scaling_efficiency_clock_normalized": round(raw / drift, 3),
+                "scaling_efficiency_clock_normalized": round(raw * drift, 3),
             }
         )
     )

@@ -128,7 +128,10 @@ def main() -> None:
                 "low": r_lo,
                 "high": r_hi,
                 "scaling_efficiency_raw": round(eff, 3),
-                "scaling_efficiency_clock_normalized": round(eff / clock_ratio, 3),
+                # perfect scaling delivers equal work in software-clock units
+                # (T*cores*calib equal across legs), so normalized = raw *
+                # (calib_lo/calib_hi) — same model as bench_scaling.py
+                "scaling_efficiency_clock_normalized": round(eff * clock_ratio, 3),
                 "phase_efficiency_raw": phase_eff,
             }
         )

@@ -216,7 +216,7 @@ def main() -> None:
                 "low": lo_leg,
                 "high": hi_leg,
                 "scaling_efficiency_raw": round(eff, 3),
-                "scaling_efficiency_clock_normalized": round(eff / clock, 3),
+                "scaling_efficiency_clock_normalized": round(eff * clock, 3),
                 "phase_efficiency_raw": {
                     "t_barrier_s": round(
                         lo_leg["t_barrier_s"] / hi_leg["t_barrier_s"] / ratio, 3
