@@ -4018,6 +4018,293 @@ _ORACLES["q52_spelling"] = """
 """
 
 
+# --------------------------------------------------------------------------
+# q53 — LivingZoneSpeedAnalyzer (plans/roads.py living_zone_speeds)
+#
+# Living streets over part: maxspeed by id%5 covers the ok (20), the
+# whitespace+sign TryParse-ok (" +20 "), the invalid integer (30), the
+# non-integer ("abc"), and the untagged branches; id%4 picks the
+# living_street subset, the rest are residential and drop out.
+# --------------------------------------------------------------------------
+
+
+def _q53_ways(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    tags = _tag_entries(
+        ("highway", F.when(i % 4 == 0, F.lit("living_street")).otherwise(F.lit("residential"))),
+        ("maxspeed", F.expr(_case_mod("p_partkey", 5, {0: "20", 1: "30", 2: "abc", 3: " +20 "}))),
+        ("name", F.when(i % 2 == 0, F.concat(F.lit("Zona "), (i % 9).cast("string")))),
+    )
+    return p.select(i.alias("id"), tags.alias("tags"))
+
+
+def q53_living_zone(spark, sf_dir):
+    """LivingZoneSpeedAnalyzer: living streets whose maxspeed is present
+    but not the integer 20 — C# int.TryParse semantics (surrounding
+    whitespace + sign ok), non-integers a separate issue class."""
+    from osmalyzer_spark.plans.roads import living_zone_speeds
+
+    return living_zone_speeds(_q53_ways(spark, sf_dir))
+
+
+_ORACLES["q53_living_zone"] = """
+    SELECT p_partkey AS way_id,
+           CASE WHEN p_partkey % 2 = 0
+                THEN 'Zona ' || CAST(p_partkey % 9 AS VARCHAR) END AS name,
+           CASE p_partkey % 5 WHEN 1 THEN '30' WHEN 2 THEN 'abc' END AS maxspeed,
+           CASE p_partkey % 5 WHEN 1 THEN 'invalid_value'
+                              WHEN 2 THEN 'invalid_format' END AS kind
+    FROM part
+    WHERE p_partkey % 4 = 0 AND p_partkey % 5 IN (1, 2)
+"""
+
+
+# --------------------------------------------------------------------------
+# q54 — HighwaySeasonalSpeedsAnalyzer (plans/roads.py seasonal_speeds)
+#
+# Ways over part with both maxspeed (id%6: 90/80/"90 km/h"/70/50/absent)
+# and maxspeed:conditional (id%7: three seasonal values, a Mo-Fr timed
+# value, absent, "snow"/"wet" non-seasonal); highway by id%9 includes one
+# excluded class (footway). Every kind branch and the Combos report
+# group (all 12 regular x seasonal pairs occur by CRT over mod 126) are
+# populated; the oracle constant-folds each (id%6, id%7) class.
+# --------------------------------------------------------------------------
+
+_Q54_MS = lambda k: _case_mod(  # noqa: E731
+    k, 6, {0: "90", 1: "80", 2: "90 km/h", 3: "70", 4: "50"}
+)
+_Q54_COND = lambda k: _case_mod(  # noqa: E731
+    k, 7, {0: "70 @ (May 1 - Oct 1)", 1: "90 @ (May 1 - Oct 1)",
+           2: "30 @ (Mo-Fr 07:00-19:00)", 3: "80 @ wet", 5: "60 @ (snow)",
+           6: "50 @ (May 1 - Oct 1)"}
+)
+_Q54_HV = lambda k: _case_mod(  # noqa: E731
+    k, 9, {0: "trunk", 1: "primary", 2: "secondary", 3: "tertiary",
+           4: "unclassified", 5: "residential", 6: "service",
+           7: "residential", 8: "footway"}
+)
+
+
+def _q54_ways(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    tags = _tag_entries(
+        ("highway", F.expr(_Q54_HV("p_partkey"))),
+        ("maxspeed", F.expr(_Q54_MS("p_partkey"))),
+        ("maxspeed:conditional", F.expr(_Q54_COND("p_partkey"))),
+    )
+    return p.select(F.col("p_partkey").alias("id"), tags.alias("tags"))
+
+
+def q54_seasonal_speeds(spark, sf_dir):
+    """HighwaySeasonalSpeedsAnalyzer: seasonal maxspeed:conditional vs
+    the regular limit — same-limit issues, non-seasonal non-timed
+    conditionals, unparseable regular limits, and the distinct
+    (regular, seasonal) combo report."""
+    from osmalyzer_spark.plans.roads import seasonal_speeds
+
+    return seasonal_speeds(_q54_ways(spark, sf_dir))
+
+
+_ORACLES["q54_seasonal_speeds"] = """
+    WITH e AS (
+        SELECT p_partkey AS i FROM part
+        WHERE p_partkey % 9 <> 8 AND p_partkey % 7 <> 4 AND p_partkey % 6 <> 5
+    )
+    SELECT i AS way_id, 'unrecognized' AS kind, CAST(NULL AS BIGINT) AS regular,
+           CAST(NULL AS BIGINT) AS conditional, '90 km/h' AS value
+    FROM e WHERE i % 6 = 2
+    UNION ALL
+    SELECT i, 'same_limits', 90, 90, '90 @ (May 1 - Oct 1)'
+    FROM e WHERE i % 6 = 0 AND i % 7 = 1
+    UNION ALL
+    SELECT i, 'same_limits', 70, 70, '70 @ (May 1 - Oct 1)'
+    FROM e WHERE i % 6 = 3 AND i % 7 = 0
+    UNION ALL
+    SELECT i, 'same_limits', 50, 50, '50 @ (May 1 - Oct 1)'
+    FROM e WHERE i % 6 = 4 AND i % 7 = 6
+    UNION ALL
+    SELECT i, 'not_seasonal',
+           CASE i % 6 WHEN 0 THEN 90 WHEN 1 THEN 80 WHEN 3 THEN 70 WHEN 4 THEN 50 END,
+           CAST(NULL AS BIGINT),
+           CASE i % 7 WHEN 3 THEN '80 @ wet' WHEN 5 THEN '60 @ (snow)' END
+    FROM e WHERE i % 6 IN (0, 1, 3, 4) AND i % 7 IN (3, 5)
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), 'combo', r.r, s.s, CAST(NULL AS VARCHAR)
+    FROM (VALUES (90), (80), (70), (50)) r(r), (VALUES (70), (90), (50)) s(s)
+"""
+
+
+# --------------------------------------------------------------------------
+# q55 — MaxspeedTypeAnalyzer (plans/roads.py maxspeed_type_check)
+#
+# Elements over part with one maxspeed:*type* tag each: id%12 picks the
+# key layout + value + companion maxspeed so every kind branch fires
+# (ok via plain int AND the "NN @ (...)" extract, mismatched urban and
+# zone, unrecognized layout, invalid value, advisory non-sign, missing
+# and invalid maxspeed, mode-key stripping); id%5 makes nodes for
+# unexpected_element, id%11 drops highway for non_highway. The oracle
+# constant-folds the kind ladder per class.
+# --------------------------------------------------------------------------
+
+
+def _q55_elements(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    c = i % 12
+    key = (
+        F.when(c == 6, F.lit("maxspeed:type:wtf"))
+        .when(c == 7, F.lit("maxspeed:hgv:type"))
+        .when(c == 8, F.lit("maxspeed:type:forward"))
+        .when(c == 11, F.lit("maxspeed:type:advisory"))
+        .otherwise(F.lit("maxspeed:type"))
+    )
+    val = F.expr(_case_mod("p_partkey", 12, {
+        0: "sign", 1: "LV:urban", 2: "LV:urban", 3: "LV:rural",
+        4: "LV:zone30", 5: "LV:zone30", 6: "LV:urban", 7: "LV:rural",
+        8: "LV:urban", 9: "LV:urban", 10: "nonsense", 11: "LV:urban",
+    }))
+    ms_key = F.when(c == 7, F.lit("maxspeed:hgv")).otherwise(F.lit("maxspeed"))
+    ms_val = F.expr(_case_mod("p_partkey", 12, {
+        0: "90", 1: "50", 2: "60", 3: "80 @ (Mo-Fr 06:00-20:00)", 4: "30",
+        5: "50", 6: "50", 7: "90", 9: "fifty", 10: "50", 11: "50",
+    }))
+    hv = F.when(i % 11 != 10, F.lit("residential"))
+    entries = F.array(
+        F.struct(key.alias("key"), val.alias("value")),
+        F.struct(ms_key.alias("key"), ms_val.alias("value")),
+        F.struct(F.lit("highway").alias("key"), hv.alias("value")),
+    )
+    tags = F.map_from_entries(F.filter(entries, lambda e: e["value"].isNotNull()))
+    return p.select(
+        i.alias("id"),
+        F.when(i % 5 == 4, F.lit("node")).otherwise(F.lit("way")).alias("elem_type"),
+        tags.alias("tags"),
+    )
+
+
+def q55_maxspeed_type(spark, sf_dir):
+    """MaxspeedTypeAnalyzer: every maxspeed:*type* tag classified by the
+    nine key layouts, eight value variants (zone carries its own limit),
+    then checked against the ":type"-stripped companion maxspeed."""
+    from osmalyzer_spark.plans.roads import maxspeed_type_check
+
+    return maxspeed_type_check(_q55_elements(spark, sf_dir))
+
+
+_ORACLES["q55_maxspeed_type"] = """
+    WITH e AS (
+        SELECT p_partkey AS i, p_partkey % 12 AS c,
+               CASE WHEN p_partkey % 5 = 4 THEN 'node' ELSE 'way' END AS et,
+               (p_partkey % 11 = 10) AS nohw
+        FROM part
+    )
+    SELECT i AS elem_id, et AS elem_type,
+           CASE c WHEN 6 THEN 'maxspeed:type:wtf'
+                  WHEN 7 THEN 'maxspeed:hgv:type'
+                  WHEN 8 THEN 'maxspeed:type:forward'
+                  WHEN 11 THEN 'maxspeed:type:advisory'
+                  ELSE 'maxspeed:type' END AS key,
+           CASE c WHEN 0 THEN 'sign' WHEN 3 THEN 'LV:rural'
+                  WHEN 4 THEN 'LV:zone30' WHEN 5 THEN 'LV:zone30'
+                  WHEN 7 THEN 'LV:rural' WHEN 10 THEN 'nonsense'
+                  ELSE 'LV:urban' END AS value,
+           CASE WHEN c = 6 THEN 'unrecognized_layout'
+                WHEN et = 'node' THEN 'unexpected_element'
+                WHEN nohw THEN 'non_highway'
+                WHEN c IN (10, 11) THEN 'invalid_value'
+                WHEN c = 8 THEN 'missing_maxspeed'
+                WHEN c = 9 THEN 'invalid_maxspeed'
+                WHEN c IN (2, 5) THEN 'mismatched'
+                ELSE 'ok' END AS kind,
+           CASE WHEN c = 6 OR et = 'node' OR nohw THEN CAST(NULL AS BIGINT)
+                WHEN c = 2 THEN CAST(50 AS BIGINT)
+                WHEN c = 5 THEN CAST(30 AS BIGINT) END AS expected
+    FROM e
+"""
+
+
+# --------------------------------------------------------------------------
+# q56 — BarrierAnalyzer (plans/roads.py barriers_not_on_ways)
+#
+# Barrier nodes over part (id%40 picks 8 of the 32 values, mixing
+# must-be-on-way and standalone-ok flags) against the q49 thinned way
+# membership; parent-way qualification ORs the highway list (way%23 via
+# the q49 highway CASE), railway=tram (way%31) and man_made=pier
+# (way%37). The oracle anti-joins the flat membership relation.
+# --------------------------------------------------------------------------
+
+_Q56_BV = lambda k: _case_mod(  # noqa: E731
+    k, 40, {0: "gate", 5: "bollard", 10: "cattle_grid", 15: "block",
+            20: "lift_gate", 25: "chain", 30: "tank_trap", 35: "stile"}
+)
+
+
+def _q56_nodes(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    tags = _tag_entries(("barrier", F.expr(_Q56_BV("p_partkey"))))
+    return p.select(F.col("p_partkey").alias("id"), tags.alias("tags"))
+
+
+def _q56_ways(spark, sf_dir) -> DataFrame:
+    w = _val_mem(
+        spark, sf_dir, pred=(F.col("l_orderkey") + F.col("l_partkey")) % 9 == 0
+    )
+    i = F.col("id")
+    tags = _tag_entries(
+        ("highway", F.expr(_Q49_HV("id"))),
+        ("railway", F.when(i % 31 == 0, F.lit("tram"))),
+        ("man_made", F.when(i % 37 == 0, F.lit("pier"))),
+    )
+    return w.select("id", tags.alias("tags"), "node_ids")
+
+
+def q56_barriers(spark, sf_dir):
+    """BarrierAnalyzer: barrier nodes (32-value list) on no routable
+    highway/railway/pier parent way; severity = the value's
+    must-be-on-way flag (blocks, bollards etc. stand alone fine)."""
+    from osmalyzer_spark.plans.roads import barriers_not_on_ways
+
+    return barriers_not_on_ways(
+        _q56_nodes(spark, sf_dir), _q56_ways(spark, sf_dir)
+    )
+
+
+def _q56_oracle_sql() -> str:
+    from osmalyzer_spark.plans.roads import (
+        BARRIER_VALUES,
+        BARRIER_WAY_HIGHWAY_VALUES,
+    )
+
+    must = dict(BARRIER_VALUES)
+    chosen = ["gate", "bollard", "cattle_grid", "block", "lift_gate",
+              "chain", "tank_trap", "stile"]
+    hw = ", ".join(f"'{v}'" for v in BARRIER_WAY_HIGHWAY_VALUES)
+    bad = " ".join(f"WHEN '{v}' THEN {str(must[v]).lower()}" for v in chosen)
+    return f"""
+    WITH mem AS (
+        SELECT DISTINCT l_orderkey AS way_id, l_partkey AS node_id
+        FROM lineitem WHERE (l_orderkey + l_partkey) % 9 = 0
+    ),
+    wq AS (
+        SELECT DISTINCT way_id FROM mem
+        WHERE {_Q49_HV("way_id")} IN ({hw})
+           OR way_id % 31 = 0 OR way_id % 37 = 0
+    ),
+    onway AS (SELECT DISTINCT m.node_id FROM mem m JOIN wq USING (way_id)),
+    bn AS (
+        SELECT p_partkey AS node_id, {_Q56_BV("p_partkey")} AS barrier
+        FROM part WHERE {_Q56_BV("p_partkey")} IS NOT NULL
+    )
+    SELECT bn.node_id, bn.barrier, CASE bn.barrier {bad} END AS bad
+    FROM bn LEFT JOIN onway o ON o.node_id = bn.node_id
+    WHERE o.node_id IS NULL
+"""
+
+
+_ORACLES["q56_barriers"] = _q56_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4072,6 +4359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_turn_restrictions": q50_turn_restrictions,
         "q51_non_defining_tags": q51_non_defining_tags,
         "q52_spelling": q52_spelling,
+        "q53_living_zone": q53_living_zone,
+        "q54_seasonal_speeds": q54_seasonal_speeds,
+        "q55_maxspeed_type": q55_maxspeed_type,
+        "q56_barriers": q56_barriers,
     }
 
 
