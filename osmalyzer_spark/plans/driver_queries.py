@@ -4305,6 +4305,228 @@ def _q56_oracle_sql() -> str:
 _ORACLES["q56_barriers"] = _q56_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q57 — DuplicatePlatformsAnalyzer (plans/pt_checks.py duplicate_platforms)
+#
+# Platform nodes = customers (key%3==0) at synth coords; platform ways =
+# suppliers (key%2==0) whose centroid sits at synth(7*key) nudged north
+# by (key%5)*0.00007 deg (~0 / 7.8 / 15.6 / 23.4 / 31.1 m), so the 20 m
+# radius keeps offsets 0-2 and drops 3-4. The oracle cross-joins with
+# the shared haversine.
+# --------------------------------------------------------------------------
+
+_Q57_NODE_SQL = (
+    "SELECT c_custkey AS id, {lat} AS lat, {lon} AS lon FROM customer "
+    "WHERE c_custkey % 3 = 0"
+).format(lat=synth_lat_sql("c_custkey"), lon=synth_lon_sql("c_custkey"))
+_Q57_WAY_SQL = (
+    "SELECT s_suppkey AS id, {lat} + (s_suppkey % 5) * 0.00007 AS lat, "
+    "{lon} AS lon FROM supplier WHERE s_suppkey % 2 = 0"
+).format(lat=synth_lat_sql("7 * s_suppkey"), lon=synth_lon_sql("7 * s_suppkey"))
+
+
+def _q57_nodes(spark, sf_dir) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 == 0)
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        _tag_entries(("public_transport", F.lit("platform"))).alias("tags"),
+        F.expr(synth_lat_sql("c_custkey")).alias("lat"),
+        F.expr(synth_lon_sql("c_custkey")).alias("lon"),
+    )
+
+
+def _q57_ways(spark, sf_dir) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0)
+    return s.select(
+        F.col("s_suppkey").alias("id"),
+        _tag_entries(("public_transport", F.lit("platform"))).alias("tags"),
+        (
+            F.expr(synth_lat_sql("7 * s_suppkey"))
+            + (F.col("s_suppkey") % 5) * 0.00007
+        ).alias("lat"),
+        F.expr(synth_lon_sql("7 * s_suppkey")).alias("lon"),
+    )
+
+
+def q57_duplicate_platforms(spark, sf_dir):
+    """DuplicatePlatformsAnalyzer: public_transport=platform nodes with
+    platform way centroids within 20 m (cell-ring radius join, way ids
+    collected sorted per node)."""
+    from osmalyzer_spark.plans.pt_checks import duplicate_platforms
+
+    return duplicate_platforms(_q57_nodes(spark, sf_dir), _q57_ways(spark, sf_dir))
+
+
+_ORACLES["q57_duplicate_platforms"] = f"""
+    WITH n AS ({_Q57_NODE_SQL}), w AS ({_Q57_WAY_SQL}),
+    pairs AS (
+        SELECT n.id AS node_id, w.id AS way_id,
+               {haversine_sql("n.lat", "n.lon", "w.lat", "w.lon")} AS d
+        FROM n CROSS JOIN w
+    )
+    SELECT node_id, COUNT(*) AS n_dup_ways,
+           list_aggregate(list_sort(list(way_id)), 'string_agg', ',') AS way_ids
+    FROM pairs WHERE d <= 20.0 GROUP BY node_id
+"""
+
+
+# --------------------------------------------------------------------------
+# q58 — PublicTransportAccessAnalyzer (plans/pt_checks.py pt_access_check)
+#
+# Route relations = orders (key%3==0 thinned) over the lineitem
+# membership; route value by key%5 covers bus/tram/trolleybus, an
+# excluded railway class, and a disused:route class; member roles and
+# types knock out platform members (sum%13) and node members (ref%17).
+# Way tags by part-key modulo populate every issue slot and note
+# variant; the oracle unions one SELECT per slot over the distinct
+# resolved route-way relation.
+# --------------------------------------------------------------------------
+
+_Q58_ACCESS = lambda k: _case_mod(  # noqa: E731
+    k, 7, {1: "yes", 2: "no", 3: "private", 4: "bus", 5: "permissive",
+           6: "destination"}
+)
+_Q58_BUS = lambda k: _case_mod(  # noqa: E731
+    k, 5, {1: "yes", 2: "no", 3: "designated", 4: "hello"}
+)
+_Q58_VEH = lambda k: _case_mod(k, 3, {1: "yes", 2: "no"})  # noqa: E731
+_Q58_PSV = lambda k: _case_mod(k, 8, {1: "no", 2: "yes"})  # noqa: E731
+_Q58_OW = lambda k: _case_mod(k, 9, {1: "yes", 2: "no", 3: "-1"})  # noqa: E731
+_Q58_OWB = lambda k: _case_mod(k, 10, {3: "no", 7: "yes"})  # noqa: E731
+_Q58_OWP = lambda k: _case_mod(k, 11, {4: "no", 5: "yes"})  # noqa: E731
+
+
+def _q58_routes(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 3 == 0)
+    mem = li.groupBy(
+        F.col("l_orderkey").alias("id"), F.col("l_partkey").alias("ref")
+    ).agg(F.min("l_linenumber").alias("pos"))
+    members = mem.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "ref"))),
+            lambda s: F.struct(
+                F.when(s["ref"] % 17 == 0, F.lit("node"))
+                .otherwise(F.lit("way"))
+                .alias("type"),
+                s["ref"].alias("ref"),
+                F.when((F.col("id") + s["ref"]) % 13 == 0, F.lit("platform"))
+                .otherwise(F.lit(""))
+                .alias("role"),
+            ),
+        ).alias("members")
+    )
+    i = F.col("id")
+    tags = _tag_entries(
+        ("type", F.lit("route")),
+        ("route", F.expr(_case_mod("id", 5, {0: "bus", 1: "tram",
+                                             2: "trolleybus", 3: "railway"}))),
+        ("disused:route", F.when(i % 5 == 4, F.lit("trolleybus"))),
+    )
+    return members.select("id", tags.alias("tags"), "members")
+
+
+def _q58_ways(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    tags = _tag_entries(
+        ("access", F.expr(_Q58_ACCESS("p_partkey"))),
+        ("bus", F.expr(_Q58_BUS("p_partkey"))),
+        ("vehicle", F.expr(_Q58_VEH("p_partkey"))),
+        ("psv", F.expr(_Q58_PSV("p_partkey"))),
+        ("oneway", F.expr(_Q58_OW("p_partkey"))),
+        ("oneway:bus", F.expr(_Q58_OWB("p_partkey"))),
+        ("oneway:psv", F.expr(_Q58_OWP("p_partkey"))),
+    )
+    return p.select(F.col("p_partkey").alias("id"), tags.alias("tags"))
+
+
+def q58_pt_access(spark, sf_dir):
+    """PublicTransportAccessAnalyzer: access/bus/vehicle/psv/oneway tag
+    validation over the distinct role-'' way members of tram/bus/
+    trolleybus route relations — every report group is an independent
+    issue slot, so one way can emit several rows."""
+    from osmalyzer_spark.plans.pt_checks import pt_access_check
+
+    return pt_access_check(_q58_routes(spark, sf_dir), _q58_ways(spark, sf_dir))
+
+
+def _q58_oracle_sql() -> str:
+    a, b = _Q58_ACCESS("way_id"), _Q58_BUS("way_id")
+    v, p = _Q58_VEH("way_id"), _Q58_PSV("way_id")
+    ow, owb, owp = _Q58_OW("way_id"), _Q58_OWB("way_id"), _Q58_OWP("way_id")
+    return f"""
+    WITH w AS (
+        SELECT DISTINCT l_partkey AS way_id
+        FROM lineitem
+        WHERE l_orderkey % 3 = 0
+          AND l_orderkey % 5 <> 3
+          AND (l_orderkey + l_partkey) % 13 <> 0
+          AND l_partkey % 17 <> 0
+    ),
+    t AS (
+        SELECT way_id, {a} AS access, {b} AS bus, {v} AS vehicle,
+               {p} AS psv, {ow} AS oneway, {owb} AS oneway_bus,
+               {owp} AS oneway_psv
+        FROM w
+    )
+    SELECT way_id, 'blocking_bus' AS issue, bus AS value,
+           CAST(NULL AS VARCHAR) AS note
+    FROM t WHERE bus = 'no'
+    UNION ALL
+    SELECT way_id, 'redundant_bus', bus, 'no_access' FROM t
+    WHERE bus = 'yes' AND access IS NULL AND vehicle IS NULL
+    UNION ALL
+    SELECT way_id, 'redundant_bus', bus, 'access_yes' FROM t
+    WHERE bus = 'yes' AND access = 'yes'
+    UNION ALL
+    SELECT way_id, 'redundant_bus', bus, 'vehicle_yes' FROM t
+    WHERE bus = 'yes' AND access IS NOT NULL AND access <> 'yes'
+      AND vehicle = 'yes'
+    UNION ALL
+    SELECT way_id, 'bad_bus_on_restricted', access, 'missing_bus' FROM t
+    WHERE access IN ('no', 'private', 'destination') AND bus IS NULL
+      AND psv IS NULL
+    UNION ALL
+    SELECT way_id, 'bad_bus_on_restricted', bus, 'unexpected_bus' FROM t
+    WHERE access IN ('no', 'private', 'destination') AND bus IS NOT NULL
+      AND bus NOT IN ('yes', 'designated') AND psv IS NULL
+    UNION ALL
+    SELECT way_id, 'bus_over_access_bus', bus, CAST(NULL AS VARCHAR) FROM t
+    WHERE access = 'bus' AND bus IS NOT NULL
+    UNION ALL
+    SELECT way_id, 'unexpected_access', access, CAST(NULL AS VARCHAR) FROM t
+    WHERE access IS NOT NULL
+      AND access NOT IN ('yes', 'no', 'private', 'destination', 'bus')
+    UNION ALL
+    SELECT way_id, 'oneway_bus_on_non_oneway', oneway_bus,
+           CAST(NULL AS VARCHAR)
+    FROM t WHERE oneway = 'no' AND oneway_bus IS NOT NULL
+    UNION ALL
+    SELECT way_id, 'unexpected_oneway', oneway, CAST(NULL AS VARCHAR) FROM t
+    WHERE oneway IS NOT NULL AND oneway NOT IN ('yes', 'no')
+    UNION ALL
+    SELECT way_id, 'psv_should_be_bus', psv,
+           CASE WHEN bus IS NULL THEN 'unset'
+                WHEN bus = 'no' THEN 'already_set'
+                ELSE 'bus_differs' END
+    FROM t WHERE psv = 'no'
+    UNION ALL
+    SELECT way_id, 'psv_should_be_bus', psv, 'unexpected' FROM t
+    WHERE psv IS NOT NULL AND psv <> 'no'
+    UNION ALL
+    SELECT way_id, 'oneway_psv_should_be_bus', oneway_psv,
+           CASE WHEN oneway_bus IS NULL THEN 'unset'
+                WHEN oneway_bus = 'no' THEN 'already_set'
+                ELSE 'bus_differs' END
+    FROM t WHERE oneway_psv = 'no'
+    UNION ALL
+    SELECT way_id, 'oneway_psv_should_be_bus', oneway_psv, 'unexpected' FROM t
+    WHERE oneway_psv IS NOT NULL AND oneway_psv <> 'no'
+"""
+
+
+_ORACLES["q58_pt_access"] = _q58_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4363,6 +4585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_seasonal_speeds": q54_seasonal_speeds,
         "q55_maxspeed_type": q55_maxspeed_type,
         "q56_barriers": q56_barriers,
+        "q57_duplicate_platforms": q57_duplicate_platforms,
+        "q58_pt_access": q58_pt_access,
     }
 
 
