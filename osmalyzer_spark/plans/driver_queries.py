@@ -4527,6 +4527,293 @@ def _q58_oracle_sql() -> str:
 _ORACLES["q58_pt_access"] = _q58_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q59 — PlaygroundAnalyzer (plans/playgrounds.py playground_check)
+#
+# Equipment = customers (key%3 thinned, key%17==1 carries
+# leisure=playground and is excluded by the operator); playgrounds =
+# suppliers (key%3==0 nodes, the rest ways; way key%5==0 is a broken
+# polygon). Way rings are one concave pentagon template translated to
+# the supplier coordinate, so the oracle can ray-cast the same absolute
+# vertex arithmetic (plat + literal) that the Spark fixture builds.
+# Thresholds widened (300 m node proximity / 1500 m search) so the
+# sf0.01 density exercises every classification branch.
+# --------------------------------------------------------------------------
+
+_Q59_RING = [
+    (-0.0016, -0.0023),
+    (-0.0013, 0.0021),
+    (0.0019, 0.0017),
+    (0.0004, -0.0002),  # notch -> concave
+    (0.0017, -0.0021),
+]
+_Q59_TYPE = lambda k: _case_mod(  # noqa: E731
+    k, 4, {0: "swing", 1: "slide", 2: "climbing", 3: "sandpit"}
+)
+
+
+def _q59_ring_crossings_sql(lat: str, lon: str, plat: str, plon: str) -> str:
+    """Ray-cast parity count for the translated _Q59_RING template —
+    identical edge order, straddle asymmetry, and float association as
+    geo/polygon.ring_contains (OsmPolygon.cs:112-128)."""
+    terms = []
+    n = len(_Q59_RING)
+    for a in range(n):
+        la, ga = _Q59_RING[a]
+        lb, gb = _Q59_RING[a - 1]
+        va_lat, va_lon = f"({plat} + {la!r})", f"({plon} + {ga!r})"
+        vb_lat, vb_lon = f"({plat} + {lb!r})", f"({plon} + {gb!r})"
+        straddle = (
+            f"(({va_lon} < {lon} AND {vb_lon} >= {lon})"
+            f" OR ({vb_lon} < {lon} AND {va_lon} >= {lon}))"
+        )
+        cross = (
+            f"({va_lat} + ({lon} - {va_lon}) / ({vb_lon} - {va_lon})"
+            f" * ({vb_lat} - {va_lat}))"
+        )
+        terms.append(f"(CASE WHEN {straddle} AND {cross} < {lat} THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _q59_equipment(spark, sf_dir) -> DataFrame:
+    c = _geo_customers(spark, sf_dir)
+    i = F.col("elem_id")
+    tags = _tag_entries(
+        ("playground", F.expr(_Q59_TYPE("elem_id"))),
+        ("leisure", F.when(i % 17 == 1, F.lit("playground"))),
+    )
+    return c.filter(i % 3 != 0).select(
+        i.cast("long").alias("id"),
+        tags.alias("tags"),
+        F.col("elem_lat").alias("lat"),
+        F.col("elem_lon").alias("lon"),
+    )
+
+
+def _q59_playgrounds(spark, sf_dir) -> DataFrame:
+    s = _geo_suppliers(spark, sf_dir)
+    i = F.col("item_id")
+    is_node = i % 3 == 0
+    has_ring = (~is_node) & (i % 5 != 0)
+    ring = F.array(
+        *[
+            F.struct(
+                (F.col("item_lat") + F.lit(d)).alias("lat"),
+                (F.col("item_lon") + F.lit(g)).alias("lon"),
+            )
+            for d, g in _Q59_RING
+        ]
+    )
+    return s.select(
+        i.cast("long").alias("id"),
+        F.when(is_node, F.lit("node")).otherwise(F.lit("way")).alias("ptype"),
+        F.col("item_lat").alias("lat"),
+        F.col("item_lon").alias("lon"),
+        F.when(has_ring, ring).alias("ring"),
+    )
+
+
+def q59_playgrounds(spark, sf_dir):
+    """PlaygroundAnalyzer: equipment vs playground features — polygon
+    containment, node proximity, nearest-in-search-radius classification,
+    orphans, and broken non-node playground polygons."""
+    from osmalyzer_spark.plans.playgrounds import playground_check
+
+    return playground_check(
+        _q59_equipment(spark, sf_dir),
+        _q59_playgrounds(spark, sf_dir),
+        node_proximity_m=300.0,
+        search_m=1500.0,
+    )
+
+
+def _q59_oracle_sql() -> str:
+    d = haversine_sql("elat", "elon", "plat", "plon")
+    xings = _q59_ring_crossings_sql("elat", "elon", "plat", "plon")
+    return f"""
+    WITH e AS (
+        SELECT CAST(elem_id AS BIGINT) AS eq_id,
+               {_Q59_TYPE("elem_id")} AS eq_type,
+               elem_lat AS elat, elem_lon AS elon
+        FROM ({_GEO_CUST_SQL})
+        WHERE elem_id % 3 <> 0 AND elem_id % 17 <> 1
+    ), p AS (
+        SELECT CAST(item_id AS BIGINT) AS pg_id,
+               CASE WHEN item_id % 3 = 0 THEN 'node' ELSE 'way' END AS ptype,
+               (item_id % 3 <> 0 AND item_id % 5 <> 0) AS has_ring,
+               item_lat AS plat, item_lon AS plon
+        FROM ({_GEO_SUPP_SQL})
+    ), pairs AS (
+        SELECT e.eq_id, e.eq_type, e.elat, e.elon,
+               p.pg_id, p.ptype, p.has_ring, p.plat, p.plon,
+               {d} AS dd,
+               (has_ring AND ({xings}) % 2 = 1) AS in_poly
+        FROM e CROSS JOIN p
+    ), contained AS (
+        SELECT DISTINCT eq_id FROM pairs
+        WHERE in_poly OR (ptype = 'node' AND dd <= 300.0)
+    ), cand AS (
+        SELECT * FROM pairs
+        WHERE dd <= 1500.0 AND eq_id NOT IN (SELECT eq_id FROM contained)
+    ), nearest AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY eq_id ORDER BY dd ASC, pg_id ASC) AS rn
+        FROM cand
+    )
+    SELECT eq_id, eq_type,
+           CASE WHEN ptype = 'node' THEN 'outside_near_node'
+                ELSE 'outside_near_area' END AS kind,
+           pg_id, round(dd, 2) AS dist_m
+    FROM nearest WHERE rn = 1
+    UNION ALL
+    SELECT eq_id, eq_type, 'orphan' AS kind,
+           CAST(NULL AS BIGINT) AS pg_id, CAST(NULL AS DOUBLE) AS dist_m
+    FROM e
+    WHERE eq_id NOT IN (SELECT eq_id FROM contained)
+      AND eq_id NOT IN (SELECT eq_id FROM cand)
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT) AS eq_id, CAST(NULL AS VARCHAR) AS eq_type,
+           'broken_polygon' AS kind, pg_id, CAST(NULL AS DOUBLE) AS dist_m
+    FROM p WHERE ptype = 'way' AND NOT has_ring
+    """
+
+
+_ORACLES["q59_playgrounds"] = _q59_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# q60 — PostCodeAnalyzer (plans/postcodes.py postcode_check)
+#
+# Elements = customers with synthesized addr:postcode / addr:country /
+# amenity tags against the concave PIP_RING boundary. Valid codes span
+# a 37-value domain (regions ~25 members) plus a rare 3-value branch
+# (sparse regions); key%11 in {3,7} produces the two invalid syntaxes,
+# key%13 in {2,4} the foreign/explicit-LV countries, key%10==6 the
+# post-office candidates (offices draw from a wider 61-code domain so
+# singles, repeats, and unused codes all occur).
+# --------------------------------------------------------------------------
+
+
+def _q60_code_num_sql(k: str) -> str:
+    return (
+        f"CASE WHEN ({k}) % 100 = 99 THEN 3000 + (({k}) % 3) "
+        f"WHEN ({k}) % 10 = 6 THEN 1000 + (({k}) % 61) "
+        f"ELSE 1000 + (({k}) % 37) END"
+    )
+
+
+def _q60_postcode_sql(k: str) -> str:
+    return (
+        f"CASE WHEN ({k}) % 7 = 0 THEN NULL "
+        f"WHEN ({k}) % 11 = 3 THEN '1234' "
+        f"WHEN ({k}) % 11 = 7 THEN 'LV-12345' "
+        f"ELSE 'LV-' || CAST(({_q60_code_num_sql(k)}) AS BIGINT) END"
+    )
+
+
+def _q60_elements(spark, sf_dir) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    i = F.col("c_custkey")
+    tags = _tag_entries(
+        ("addr:postcode", F.expr(_q60_postcode_sql("c_custkey"))),
+        (
+            "addr:country",
+            F.when(i % 13 == 2, F.lit("EE")).when(i % 13 == 4, F.lit("LV")),
+        ),
+        ("amenity", F.when(i % 10 == 6, F.lit("post_office"))),
+    )
+    return c.select(
+        i.cast("long").alias("id"),
+        tags.alias("tags"),
+        F.expr(synth_lat_sql("c_custkey")).alias("lat"),
+        F.expr(synth_lon_sql("c_custkey")).alias("lon"),
+    )
+
+
+def q60_postcodes(spark, sf_dir):
+    """PostCodeAnalyzer: regions, syntax validation, post-office
+    consistency (repeat/unused/missing), and >50 km distant members,
+    inside the concave PIP_RING boundary polygon."""
+    import numpy as np
+
+    from osmalyzer_spark.geo.polygon import Polygon
+    from osmalyzer_spark.plans.postcodes import postcode_check
+
+    poly = Polygon(outers=[np.array(PIP_RING, dtype=float)], polygon_id="lv")
+    return postcode_check(_q60_elements(spark, sf_dir), poly)
+
+
+def _q60_oracle_sql() -> str:
+    dist = haversine_sql("r.avg_lat", "r.avg_lon", "m.lat", "m.lon")
+    return f"""
+    WITH raw AS (
+        SELECT CAST(c_custkey AS BIGINT) AS id,
+               {_q60_postcode_sql("c_custkey")} AS postcode,
+               CASE WHEN c_custkey % 13 = 2 THEN 'EE'
+                    WHEN c_custkey % 13 = 4 THEN 'LV' END AS country,
+               (c_custkey % 10 = 6) AS is_po,
+               {synth_lat_sql("c_custkey")} AS lat,
+               {synth_lon_sql("c_custkey")} AS lon
+        FROM customer
+    ), base AS (
+        SELECT *,
+               ({_pip_crossings_sql("lat", "lon")}) % 2 = 1 AS inside,
+               regexp_matches(postcode, '^LV-[0-9]{{4}}$') AS valid
+        FROM raw
+    ), b2 AS (
+        SELECT *, (is_po AND inside) AS office FROM base
+    ), members AS (
+        SELECT id, postcode, lat, lon FROM b2
+        WHERE NOT office AND postcode IS NOT NULL AND valid
+    ), regions AS (
+        SELECT postcode, count(*) AS n,
+               avg(lat) AS avg_lat, avg(lon) AS avg_lon
+        FROM members GROUP BY postcode
+    ), off_valid AS (
+        SELECT id, postcode FROM b2
+        WHERE office AND coalesce(valid, false)
+    ), ocounts AS (
+        SELECT postcode, count(*) AS n_off FROM off_valid GROUP BY postcode
+    ), singles AS (
+        SELECT v.id, v.postcode FROM off_valid v
+        JOIN ocounts o ON v.postcode = o.postcode AND o.n_off = 1
+    )
+    SELECT CASE WHEN n < 10 THEN 'region_sparse' ELSE 'region' END AS kind,
+           postcode, CAST(NULL AS BIGINT) AS elem_id, n,
+           round(avg_lat, 4) AS lat, round(avg_lon, 4) AS lon
+    FROM regions
+    UNION ALL
+    SELECT 'invalid_code', postcode, id, NULL, NULL, NULL
+    FROM b2
+    WHERE NOT office AND postcode IS NOT NULL AND NOT valid
+      AND (country IS NULL OR country = 'LV') AND inside
+    UNION ALL
+    SELECT 'office_no_postcode', NULL, id, NULL, NULL, NULL
+    FROM b2 WHERE office AND postcode IS NULL
+    UNION ALL
+    SELECT 'office_invalid_code', postcode, id, NULL, NULL, NULL
+    FROM b2 WHERE office AND postcode IS NOT NULL AND NOT valid
+    UNION ALL
+    SELECT 'office_repeat', postcode, NULL, n_off, NULL, NULL
+    FROM ocounts WHERE n_off > 1
+    UNION ALL
+    SELECT 'office_ok', postcode, id, NULL, NULL, NULL FROM singles
+    UNION ALL
+    SELECT 'office_unused_code', postcode, id, NULL, NULL, NULL
+    FROM singles WHERE postcode NOT IN (SELECT postcode FROM regions)
+    UNION ALL
+    SELECT 'region_no_office', postcode, NULL, n, NULL, NULL
+    FROM regions WHERE postcode NOT IN (SELECT postcode FROM singles)
+    UNION ALL
+    SELECT 'distant', m.postcode, m.id, NULL, NULL, NULL
+    FROM members m JOIN regions r ON m.postcode = r.postcode
+    WHERE {dist} > 50000.0
+    """
+
+
+_ORACLES["q60_postcodes"] = _q60_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4587,6 +4874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_barriers": q56_barriers,
         "q57_duplicate_platforms": q57_duplicate_platforms,
         "q58_pt_access": q58_pt_access,
+        "q59_playgrounds": q59_playgrounds,
+        "q60_postcodes": q60_postcodes,
     }
 
 
