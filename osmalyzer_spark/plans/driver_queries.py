@@ -4814,6 +4814,256 @@ def _q60_oracle_sql() -> str:
 _ORACLES["q60_postcodes"] = _q60_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q61 — DoubleMappedFeaturesAnalyzer (plans/doublemapped.py)
+#
+# Areas = parts (key%10 spans the amenity/leisure/place taxonomy incl.
+# a bench non-feature, an isolated_dwelling skip, and a
+# fitness_station way); rings are a concave hexagon template (closing
+# vertex stored, OSM way convention) translated to the part
+# coordinate, scaled 20x for key%13==0 so the 0.3 "km2" cap
+# (reference formula units — lon deltas in degrees) fires. Nodes =
+# customers (key%11 taxonomy incl. the fitness-station-node-with-key
+# exception); key%4==1 nodes sit at a derived way's coordinate plus an
+# in-ring offset so containment actually fires at sf0.01 density.
+# --------------------------------------------------------------------------
+
+# (dlat, dlon) offsets; LAST VERTEX REPEATS THE FIRST (stored-way shape)
+_Q61_RING = [
+    (-0.00015, -0.0005),
+    (-0.00012, 0.0005),
+    (0.00018, 0.0004),
+    (0.00003, -0.00005),  # notch -> concave
+    (0.00016, -0.00045),
+    (-0.00015, -0.0005),
+]
+_Q61_BIG = [(d * 20.0, g * 20.0) for d, g in _Q61_RING]
+_Q61_WCLS = lambda k: _case_mod(  # noqa: E731
+    k, 10, {0: "amenity|parking", 1: "amenity|school", 2: "leisure|pitch",
+            3: "leisure|park", 4: "leisure|playground", 5: "place|square",
+            6: "place|isolated_dwelling", 7: "amenity|bench",
+            8: "leisure|fitness_station", 9: "place|village"}
+)
+_Q61_NCLS = lambda k: _case_mod(  # noqa: E731
+    k, 11, {0: "amenity|parking", 1: "amenity|school", 2: "leisure|pitch",
+            3: "leisure|park", 4: "leisure|playground", 5: "place|square",
+            6: "place|village", 7: "amenity|bench",
+            8: "leisure|fitness_station", 9: "leisure|marina",
+            10: "shop|bakery"}
+)
+_Q61_IN_DLAT, _Q61_IN_DLON = 0.00005, 0.0001  # lands inside _Q61_RING
+
+
+def _q61_ring_expr(tpl, lat_col, lon_col) -> F.Column:
+    return F.array(
+        *[
+            F.struct(
+                (F.col(lat_col) + F.lit(d)).alias("lat"),
+                (F.col(lon_col) + F.lit(g)).alias("lon"),
+            )
+            for d, g in tpl
+        ]
+    )
+
+
+def _q61_ways(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    cls = F.expr(_Q61_WCLS("p_partkey"))
+    tags = F.map_from_entries(
+        F.array(
+            F.struct(
+                F.split(cls, "\\|")[0].alias("key"),
+                F.split(cls, "\\|")[1].alias("value"),
+            )
+        )
+    )
+    base = p.select(
+        i.cast("long").alias("id"),
+        tags.alias("tags"),
+        F.expr(synth_lat_sql("p_partkey")).alias("__wlat"),
+        F.expr(synth_lon_sql("p_partkey")).alias("__wlon"),
+    )
+    ring = F.when(
+        F.col("id") % 13 == 0, _q61_ring_expr(_Q61_BIG, "__wlat", "__wlon")
+    ).otherwise(_q61_ring_expr(_Q61_RING, "__wlat", "__wlon"))
+    return base.select("id", "tags", ring.alias("ring"))
+
+
+def _q61_nodes(spark, sf_dir) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n_parts = _t(spark, sf_dir, "part").count()
+    i = F.col("c_custkey")
+    cls = F.expr(_Q61_NCLS("c_custkey"))
+    fs_key = F.when(
+        (i % 11 == 8) & (i % 3 == 0), F.lit("a")
+    )  # equipment piece -> excluded on nodes
+    tags = F.map_from_entries(
+        F.filter(
+            F.array(
+                F.struct(
+                    F.split(cls, "\\|")[0].alias("key"),
+                    F.split(cls, "\\|")[1].alias("value"),
+                ),
+                F.struct(F.lit("fitness_station").alias("key"), fs_key.alias("value")),
+            ),
+            lambda e: e["value"].isNotNull(),
+        )
+    )
+    lat = F.when(
+        i % 4 == 1,
+        F.expr(synth_lat_sql(f"((c_custkey * 7) % {n_parts} + 1)"))
+        + F.lit(_Q61_IN_DLAT),
+    ).otherwise(F.expr(synth_lat_sql("c_custkey")))
+    lon = F.when(
+        i % 4 == 1,
+        F.expr(synth_lon_sql(f"((c_custkey * 7) % {n_parts} + 1)"))
+        + F.lit(_Q61_IN_DLON),
+    ).otherwise(F.expr(synth_lon_sql("c_custkey")))
+    return c.select(
+        i.cast("long").alias("id"), tags.alias("tags"), lat.alias("lat"), lon.alias("lon")
+    )
+
+
+def q61_double_mapped(spark, sf_dir):
+    """DoubleMappedFeaturesAnalyzer: POI nodes on top of a same-class
+    area feature — OsmKnowledge taxonomy, the degree-unit 0.3 area cap,
+    isolated_dwelling skip, 1 km cheap-distance prefilter, ray-cast
+    containment, grouped per area."""
+    from osmalyzer_spark.plans.doublemapped import double_mapped_check
+
+    return double_mapped_check(_q61_ways(spark, sf_dir), _q61_nodes(spark, sf_dir))
+
+
+def _q61_tpl_crossings_sql(tpl, lat, lon, plat, plon) -> str:
+    """Ray-cast parity over a translated template ring, same edge order
+    (previous-vertex wrap over ALL stored vertices, so the duplicated
+    closing vertex contributes a degenerate no-op edge exactly as
+    geo/polygon.ring_contains sees it)."""
+    terms = []
+    n = len(tpl)
+    for a in range(n):
+        la, ga = tpl[a]
+        lb, gb = tpl[a - 1]
+        va_lat, va_lon = f"({plat} + {la!r})", f"({plon} + {ga!r})"
+        vb_lat, vb_lon = f"({plat} + {lb!r})", f"({plon} + {gb!r})"
+        straddle = (
+            f"(({va_lon} < {lon} AND {vb_lon} >= {lon})"
+            f" OR ({vb_lon} < {lon} AND {va_lon} >= {lon}))"
+        )
+        cross = (
+            f"({va_lat} + ({lon} - {va_lon}) / ({vb_lon} - {va_lon})"
+            f" * ({vb_lat} - {va_lat}))"
+        )
+        terms.append(f"(CASE WHEN {straddle} AND {cross} < {lat} THEN 1 ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _q61_area_sql(tpl, plat, plon) -> str:
+    """GetAreaSize formula over a translated template: the lon delta is
+    computed as (plon+g2)-(plon+g1) — NOT the algebraically-equal
+    literal g2-g1 — to match Spark's per-vertex float arithmetic, with
+    the same left-assoc fold and term order as
+    plans/doublemapped.area_size_km2."""
+    rad = 3.141592653589793 / 180.0
+    seg = "0.0"
+    for a in range(len(tpl) - 1):
+        d1, g1 = tpl[a]
+        d2, g2 = tpl[a + 1]
+        term = (
+            f"((({plon} + {g2!r}) - ({plon} + {g1!r}))"
+            f" * (2.0 + sin(({plat} + {d1!r}) * {rad!r})"
+            f" + sin(({plat} + {d2!r}) * {rad!r})))"
+        )
+        seg = f"({seg} + {term})"
+    return f"abs({seg} * 6378137.0 * 6378137.0 / 2.0 / 1000000.0)"
+
+
+def _q61_avg_sql(tpl, pcol, axis) -> str:
+    terms = "0.0"
+    for d, g in tpl:
+        off = d if axis == "lat" else g
+        terms = f"({terms} + ({pcol} + {off!r}))"
+    return f"({terms} / {len(tpl)})"
+
+
+def _q61_oracle_sql() -> str:
+    w_small_xings = _q61_tpl_crossings_sql(
+        _Q61_RING, "n.nlat", "n.nlon", "a.wlat", "a.wlon"
+    )
+    small_area = _q61_area_sql(_Q61_RING, "wlat", "wlon")
+    big_area = _q61_area_sql(_Q61_BIG, "wlat", "wlon")
+    s_alat = _q61_avg_sql(_Q61_RING, "wlat", "lat")
+    s_alon = _q61_avg_sql(_Q61_RING, "wlon", "lon")
+    b_alat = _q61_avg_sql(_Q61_BIG, "wlat", "lat")
+    b_alon = _q61_avg_sql(_Q61_BIG, "wlon", "lon")
+    return f"""
+    WITH w0 AS (
+        SELECT CAST(p_partkey AS BIGINT) AS area_id,
+               {_Q61_WCLS("p_partkey")} AS cls,
+               (p_partkey % 13 = 0) AS is_big,
+               {synth_lat_sql("p_partkey")} AS wlat,
+               {synth_lon_sql("p_partkey")} AS wlon
+        FROM part
+    ), w AS (
+        SELECT area_id,
+               string_split(cls, '|')[1] AS feature_key,
+               string_split(cls, '|')[2] AS feature_value,
+               wlat, wlon,
+               CASE WHEN is_big THEN {big_area} ELSE {small_area} END AS km2,
+               CASE WHEN is_big THEN {b_alat} ELSE {s_alat} END AS alat,
+               CASE WHEN is_big THEN {b_alon} ELSE {s_alon} END AS alon,
+               is_big
+        FROM w0
+        WHERE string_split(cls, '|')[1] IN ('amenity', 'leisure', 'place')
+          AND NOT (string_split(cls, '|')[1] = 'amenity'
+                   AND string_split(cls, '|')[2] = 'bench')
+    ), areas AS (
+        SELECT * FROM w
+        WHERE km2 <= 0.3
+          AND NOT (feature_key = 'place' AND feature_value = 'isolated_dwelling')
+    ), n0 AS (
+        SELECT CAST(c_custkey AS BIGINT) AS node_id,
+               {_Q61_NCLS("c_custkey")} AS cls,
+               (c_custkey % 11 = 8 AND c_custkey % 3 = 0) AS fs_equipment,
+               CASE WHEN c_custkey % 4 = 1
+                    THEN {synth_lat_sql("((c_custkey * 7) % (SELECT count(*) FROM part) + 1)")} + {_Q61_IN_DLAT!r}
+                    ELSE {synth_lat_sql("c_custkey")} END AS nlat,
+               CASE WHEN c_custkey % 4 = 1
+                    THEN {synth_lon_sql("((c_custkey * 7) % (SELECT count(*) FROM part) + 1)")} + {_Q61_IN_DLON!r}
+                    ELSE {synth_lon_sql("c_custkey")} END AS nlon
+        FROM customer
+    ), n AS (
+        SELECT node_id,
+               string_split(cls, '|')[1] AS nkey,
+               string_split(cls, '|')[2] AS nval,
+               nlat, nlon
+        FROM n0
+        WHERE string_split(cls, '|')[1] IN ('amenity', 'leisure', 'place')
+          AND NOT (string_split(cls, '|')[1] = 'amenity'
+                   AND string_split(cls, '|')[2] = 'bench')
+          AND NOT fs_equipment
+    ), pairs AS (
+        SELECT a.area_id, a.feature_key, a.feature_value,
+               round(a.km2, 3) AS area_km2, n.node_id
+        FROM areas a JOIN n
+          ON n.nkey = a.feature_key AND n.nval = a.feature_value
+        WHERE NOT a.is_big
+          AND sqrt((n.nlat - a.alat) * (n.nlat - a.alat)
+                   + (n.nlon - a.alon) * (n.nlon - a.alon)) * 111139.0 <= 1000.0
+          AND ({w_small_xings}) % 2 = 1
+    )
+    SELECT area_id, feature_key, feature_value, area_km2,
+           count(*) AS n_nodes,
+           string_agg(CAST(node_id AS VARCHAR), ',' ORDER BY node_id) AS node_ids
+    FROM pairs
+    GROUP BY area_id, feature_key, feature_value, area_km2
+    """
+
+
+_ORACLES["q61_double_mapped"] = _q61_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -4876,6 +5126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_pt_access": q58_pt_access,
         "q59_playgrounds": q59_playgrounds,
         "q60_postcodes": q60_postcodes,
+        "q61_double_mapped": q61_double_mapped,
     }
 
 
