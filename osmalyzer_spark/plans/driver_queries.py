@@ -5064,6 +5064,220 @@ def _q61_oracle_sql() -> str:
 _ORACLES["q61_double_mapped"] = _q61_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q62 — StreetNameAnalyzer (plans/streetnames.py street_name_check)
+#
+# Ways = orders (name pool by key%23 covering every cascade branch,
+# highway class by key%7 incl. excluded footway/untagged, LVM operator
+# only on the two stiga groups so full/partial both occur); routes =
+# nation (two clean-matching route names for one way name so the
+# lowest-route-id rule is exercised); law roads = region. The oracle
+# replays the cascade as chained CTEs with the identical CleanName
+# replace order.
+# --------------------------------------------------------------------------
+
+_Q62_NAMES = {
+    0: "Ozolu iela", 1: "Liepu iela", 2: "Kastanu gatve", 3: "Maza taka",
+    4: "Juras prospekts", 5: "iela", 6: "Vecais tirgus", 7: "Jauna osta",
+    8: "Riga-Liepaja", 9: "Riga – Ventspils (apvedcels)",
+    10: "Valsts autostrade A7", 11: "Daugavas šoseja",
+    12: "Meza stiga", 13: "Silu stiga", 14: "Kuldigas lauki",
+    15: "Kuldigas — celmi", 16: "Saulespuke",
+    17: "Zvaigznu laukums", 18: "Upes dambis", 19: "Annas aleja",
+    20: "Rigas līnija", 21: "Ventas krastmala", 22: "Riga-Jelgava",
+}
+_Q62_NAME = lambda k: _case_mod(k, 23, _Q62_NAMES)  # noqa: E731
+_Q62_HW = lambda k: _case_mod(  # noqa: E731
+    k, 7, {0: "residential", 1: "service", 2: "track", 3: "footway",
+           4: "secondary", 6: "primary"}
+)
+_Q62_ROUTE_NAME = lambda k: _case_mod(  # noqa: E731
+    k, 25, {0: "Riga-Liepaja", 1: "Riga–Ventspils", 2: "Riga-Jelgava",
+            3: "Cesis-Valmiera", 4: "Riga - Jelgava"}
+)
+_Q62_ROUTE_REF = lambda k: _case_mod(  # noqa: E731
+    k, 25, {0: "A9", 1: "A10", 2: "A8", 3: "P20", 4: "A8b"}
+)
+_Q62_LAW_NAME = lambda k: _case_mod(  # noqa: E731
+    k, 5, {0: "Valsts autostrade A7 (posms)", 1: "Riga-Liepaja",
+           2: "Leju lini", 3: "Aizupes", 4: "Dores"}
+)
+_Q62_LAW_CODE = lambda k: _case_mod(  # noqa: E731
+    k, 5, {0: "A7", 1: "A9L", 2: "L2", 3: "L3", 4: "L4"}
+)
+_Q62_KNOWN = ["Vecais tirgus", "Jauna osta"]
+_Q62_KULDIGA = ["Kuldigas lauki", "Kuldigas-celmi"]
+
+
+def _q62_ways(spark, sf_dir) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    i = F.col("o_orderkey")
+    lvm = F.when(
+        ((i % 23 == 12) & (i % 9 == 0)) | (i % 23 == 13),
+        F.lit("Latvijas valsts meži"),
+    )
+    tags = _tag_entries(
+        ("name", F.when(i % 31 != 0, F.expr(_Q62_NAME("o_orderkey")))),
+        ("highway", F.expr(_Q62_HW("o_orderkey"))),
+        ("operator", lvm),
+    )
+    return o.select(i.cast("long").alias("id"), tags.alias("tags"))
+
+
+def _q62_routes(spark, sf_dir) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        F.col("n_nationkey").cast("long").alias("route_id"),
+        F.expr(_Q62_ROUTE_NAME("n_nationkey")).alias("route_name"),
+        F.expr(_Q62_ROUTE_REF("n_nationkey")).alias("route_ref"),
+    ).filter(F.col("route_name").isNotNull())
+
+
+def _q62_law(spark, sf_dir) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    return r.select(
+        F.expr(_Q62_LAW_CODE("r_regionkey")).alias("law_code"),
+        F.expr(_Q62_LAW_NAME("r_regionkey")).alias("law_name"),
+    )
+
+
+def q62_street_names(spark, sf_dir):
+    """StreetNameAnalyzer: the street-name recognition cascade — suffix
+    stats (zeros included), known names, OSM-route / law full+partial
+    matches under CleanName, LVM operator groups, Kuldiga list,
+    unknown leftovers."""
+    from osmalyzer_spark.plans.streetnames import street_name_check
+
+    return street_name_check(
+        spark,
+        _q62_ways(spark, sf_dir),
+        _q62_routes(spark, sf_dir),
+        _q62_law(spark, sf_dir),
+        known_names=_Q62_KNOWN,
+        kuldiga_names=_Q62_KULDIGA,
+    )
+
+
+def _q62_clean_sql(x: str) -> str:
+    s = f"regexp_replace({x}, '\\([^\\)]+\\)', '', 'g')"
+    s = f"replace({s}, '  ', ' ')"
+    for a, b in (("—", "-"), ("–", "-"), (" - ", "-"), ("- ", "-"), (" -", "-")):
+        s = f"replace({s}, '{a}', '{b}')"
+    return f"trim({s})"
+
+
+def _q62_clean_dash_sql(x: str) -> str:
+    s = x
+    for a, b in (("—", "-"), ("–", "-"), (" - ", "-"), ("- ", "-"), (" -", "-")):
+        s = f"replace({s}, '{a}', '{b}')"
+    return f"trim({s})"
+
+
+def _q62_oracle_sql() -> str:
+    from osmalyzer_spark.plans.streetnames import KNOWN_SUFFIXES
+
+    sfx_vals = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(KNOWN_SUFFIXES)
+    )
+    sfx_case = "CASE " + " ".join(
+        f"WHEN length(name) > {len(s)} AND ends_with(lower(name), '{s}') THEN {i}"
+        for i, s in enumerate(KNOWN_SUFFIXES)
+    ) + " END"
+    known_in = ", ".join(f"'{s}'" for s in _Q62_KNOWN)
+    kuldiga_clean = [
+        s.replace("—", "-").replace("–", "-")
+        .replace(" - ", "-").replace("- ", "-").replace(" -", "-").strip()
+        for s in _Q62_KULDIGA
+    ]
+    kuldiga_in = ", ".join(f"'{s}'" for s in kuldiga_clean)
+    hw = _Q62_HW("o_orderkey")
+    return f"""
+    WITH w AS (
+        SELECT {_Q62_NAME("o_orderkey")} AS name,
+               CASE WHEN ((o_orderkey % 23 = 12 AND o_orderkey % 9 = 0)
+                          OR o_orderkey % 23 = 13) THEN 1 ELSE 0 END AS lvm
+        FROM orders
+        WHERE o_orderkey % 31 <> 0
+          AND ({hw}) IN ('residential', 'service', 'track', 'secondary',
+                         'primary', 'trunk', 'tertiary', 'unclassified',
+                         'living_street', 'trunk_link', 'primary_link',
+                         'secondary_link')
+    ), g AS (
+        SELECT name, count(*) AS n, sum(lvm) AS n_lvm FROM w GROUP BY name
+    ), gs AS (
+        SELECT *, {sfx_case} AS sidx FROM g
+    ), sfx(idx, sfx) AS (
+        SELECT * FROM (VALUES {sfx_vals})
+    ), sstats AS (
+        SELECT sidx, count(*) AS v, sum(n) AS t
+        FROM gs WHERE sidx IS NOT NULL GROUP BY sidx
+    ), rest0 AS (
+        SELECT name, n, n_lvm, {_q62_clean_sql("name")} AS cl
+        FROM gs WHERE sidx IS NULL
+    ), routes AS (
+        SELECT CAST(n_nationkey AS BIGINT) AS route_id,
+               {_Q62_ROUTE_NAME("n_nationkey")} AS route_name,
+               {_Q62_ROUTE_REF("n_nationkey")} AS route_ref
+        FROM nation
+        WHERE {_Q62_ROUTE_NAME("n_nationkey")} IS NOT NULL
+    ), rest1 AS (
+        SELECT * FROM rest0 WHERE name NOT IN ({known_in})
+    ), rmatch AS (
+        SELECT r1.name, r1.n, r1.n_lvm, r1.cl, min(rt.route_id) AS rid
+        FROM rest1 r1
+        LEFT JOIN routes rt ON {_q62_clean_sql("rt.route_name")} = r1.cl
+        GROUP BY r1.name, r1.n, r1.n_lvm, r1.cl
+    ), rest2 AS (
+        SELECT name, n, n_lvm, cl FROM rmatch WHERE rid IS NULL
+    ), law AS (
+        SELECT {_Q62_LAW_CODE("r_regionkey")} AS law_code,
+               {_Q62_LAW_NAME("r_regionkey")} AS law_name
+        FROM region
+    ), lmatch AS (
+        SELECT r2.name, r2.n, r2.n_lvm, r2.cl, min(l.law_code) AS lcode
+        FROM rest2 r2
+        LEFT JOIN law l ON {_q62_clean_sql("l.law_name")} = r2.cl
+        GROUP BY r2.name, r2.n, r2.n_lvm, r2.cl
+    ), rest3 AS (
+        SELECT name, n, n_lvm FROM lmatch WHERE lcode IS NULL
+    ), rest4 AS (
+        SELECT * FROM rest3 WHERE n_lvm < 1
+    )
+    SELECT 'suffix' AS kind,
+           CAST(idx AS VARCHAR) || ':' || sfx AS name,
+           CAST(NULL AS VARCHAR) AS ref,
+           coalesce(v, 0) AS n1, coalesce(t, 0) AS n2
+    FROM sfx LEFT JOIN sstats ON sfx.idx = sstats.sidx
+    UNION ALL
+    SELECT 'known_name', name, NULL, n, NULL
+    FROM rest0 WHERE name IN ({known_in})
+    UNION ALL
+    SELECT CASE WHEN rt.route_name = m.name THEN 'route_full_osm'
+                ELSE 'route_partial_osm' END,
+           m.name, rt.route_ref, m.n, NULL
+    FROM rmatch m JOIN routes rt ON rt.route_id = m.rid
+    UNION ALL
+    SELECT CASE WHEN l.law_name = m.name THEN 'route_full_law'
+                ELSE 'route_partial_law' END,
+           m.name, m.lcode, m.n, NULL
+    FROM lmatch m JOIN law l ON l.law_code = m.lcode
+    UNION ALL
+    SELECT CASE WHEN n_lvm = n THEN 'lvm_full' ELSE 'lvm_partial' END,
+           name, NULL, n_lvm,
+           CASE WHEN n_lvm < n THEN n END
+    FROM rest3 WHERE n_lvm >= 1
+    UNION ALL
+    SELECT 'kuldiga', name, NULL, n, NULL
+    FROM rest4 WHERE {_q62_clean_dash_sql("name")} IN ({kuldiga_in})
+    UNION ALL
+    SELECT 'unknown', name, NULL, n, NULL
+    FROM rest4 WHERE {_q62_clean_dash_sql("name")} NOT IN ({kuldiga_in})
+    """
+
+
+_ORACLES["q62_street_names"] = _q62_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5127,6 +5341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_playgrounds": q59_playgrounds,
         "q60_postcodes": q60_postcodes,
         "q61_double_mapped": q61_double_mapped,
+        "q62_street_names": q62_street_names,
     }
 
 
