@@ -5278,6 +5278,397 @@ def _q62_oracle_sql() -> str:
 _ORACLES["q62_street_names"] = _q62_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q63 — Administrative group (plans/admin.py): admin boundaries +
+# center self-assignment + external-entry matching
+#
+# Relations = orders (key%31 thinned; boundary=administrative all,
+# admin_level 5 for even keys only); members = distinct lineitem
+# (ref%5==0 node members, roles admin_centre/label by (id+ref)%7);
+# nodes = parts (place=city/town by key mods — "city" is the preferred
+# center tag); the relation coordinate is the average over its node
+# members, filtered centroid-inside PIP_RING. Entries = customers
+# (key%3 thinned, name domain %701 shared with relations so
+# missing/extra/multiple all occur; key%17==0 entries carry no coord).
+# Output: external_assign kinds + 'center' rows (entry_id = the
+# assigned center node).
+# --------------------------------------------------------------------------
+
+# 431: customer keys at sf0.01 run to 1500, so 3x431-spaced key pairs
+# share a name -> the multiple_matches branch actually fires
+_Q63_NAME_MOD = 431
+_Q63_CAP_M = 75000.0  # MunicipalityAnalyzer.cs:72
+
+
+def _q63_relations(spark, sf_dir) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    i = F.col("o_orderkey")
+    return o.filter((i % 31 == 0) & (i % 2 == 0)).select(
+        i.cast("long").alias("relation_id"),
+        F.concat(F.lit("Novads "), (i % _Q63_NAME_MOD).cast("string")).alias(
+            "name"
+        ),
+    )
+
+
+def _q63_members(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rel = _q63_relations(spark, sf_dir).select("relation_id")
+    m = (
+        li.select(
+            F.col("l_orderkey").cast("long").alias("relation_id"),
+            F.col("l_partkey").cast("long").alias("ref"),
+        )
+        .dropDuplicates(["relation_id", "ref"])
+        .join(rel, "relation_id")
+    )
+    return m.select(
+        "relation_id",
+        "ref",
+        F.when(F.col("ref") % 5 == 0, F.lit("node"))
+        .otherwise(F.lit("way"))
+        .alias("mtype"),
+        F.when((F.col("relation_id") + F.col("ref")) % 7 == 0, F.lit("admin_centre"))
+        .when((F.col("relation_id") + F.col("ref")) % 7 == 1, F.lit("label"))
+        .otherwise(F.lit(""))
+        .alias("role"),
+    )
+
+
+def _q63_nodes(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    i = F.col("p_partkey")
+    tags = _tag_entries(
+        (
+            "place",
+            F.when(i % 23 == 0, F.lit("city")).when(i % 5 == 1, F.lit("town")),
+        )
+    )
+    return p.select(
+        i.cast("long").alias("id"),
+        tags.alias("tags"),
+        F.expr(synth_lat_sql("p_partkey")).alias("lat"),
+        F.expr(synth_lon_sql("p_partkey")).alias("lon"),
+    )
+
+
+def _q63_entries(spark, sf_dir) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    i = F.col("c_custkey")
+    return c.filter(i % 3 == 0).select(
+        i.cast("long").alias("entry_id"),
+        F.concat(F.lit("Novads "), (i % _Q63_NAME_MOD).cast("string")).alias(
+            "name"
+        ),
+        F.when(i % 17 != 0, F.expr(synth_lat_sql("c_custkey"))).alias("elat"),
+        F.when(i % 17 != 0, F.expr(synth_lon_sql("c_custkey"))).alias("elon"),
+    )
+
+
+def q63_admin_boundaries(spark, sf_dir):
+    """Administrative group: centroid-inside admin relations, admin
+    center self-assignment (preferred place=city, then single
+    admin_centre, then single label), and name-keyed external-entry
+    assignment with the multiple/mismatch/missing/extra taxonomy."""
+    import numpy as np
+
+    from osmalyzer_spark.geo.polygon import Polygon, contains_expr
+    from osmalyzer_spark.plans.admin import assign_admin_centers, external_assign
+
+    rel = _q63_relations(spark, sf_dir)
+    members = _q63_members(spark, sf_dir)
+    nodes = _q63_nodes(spark, sf_dir)
+
+    node_pos = members.filter(F.col("mtype") == "node").join(
+        nodes.select(F.col("id").alias("ref"), "lat", "lon"), "ref"
+    )
+    cent = node_pos.groupBy("relation_id").agg(
+        F.avg("lat").alias("lat"), F.avg("lon").alias("lon")
+    )
+    poly = Polygon(outers=[np.array(PIP_RING, dtype=float)], polygon_id="lv")
+    items = (
+        rel.join(cent, "relation_id")
+        .filter(contains_expr(poly, "lat", "lon"))
+        .select(F.col("relation_id").alias("item_id"), "name", "lat", "lon")
+    )
+
+    matches = external_assign(items, _q63_entries(spark, sf_dir), _Q63_CAP_M)
+    centers = (
+        assign_admin_centers(
+            members.join(
+                items.select(F.col("item_id").alias("relation_id")), "relation_id"
+            ),
+            nodes,
+            preferred_tag_value=("place", "city"),
+        )
+        .select(
+            F.lit("center").alias("kind"),
+            F.col("relation_id").alias("item_id"),
+            F.col("center_id").alias("entry_id"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("dist_m"),
+        )
+    )
+    return matches.unionByName(centers)
+
+
+def _q63_oracle_sql() -> str:
+    m = _Q63_NAME_MOD
+    dist = (
+        "sqrt((e.elat - i.lat) * (e.elat - i.lat)"
+        " + (e.elon - i.lon) * (e.elon - i.lon)) * 111139.0"
+    )
+    return f"""
+    WITH rel AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS relation_id,
+               'Novads ' || CAST(o_orderkey % {m} AS BIGINT) AS name
+        FROM orders WHERE o_orderkey % 31 = 0 AND o_orderkey % 2 = 0
+    ), mem AS (
+        SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS relation_id,
+               CAST(l_partkey AS BIGINT) AS ref
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT relation_id FROM rel)
+    ), mem2 AS (
+        SELECT relation_id, ref,
+               CASE WHEN ref % 5 = 0 THEN 'node' ELSE 'way' END AS mtype,
+               CASE WHEN (relation_id + ref) % 7 = 0 THEN 'admin_centre'
+                    WHEN (relation_id + ref) % 7 = 1 THEN 'label'
+                    ELSE '' END AS role
+        FROM mem
+    ), np AS (
+        SELECT m2.relation_id, m2.ref, m2.role,
+               {synth_lat_sql("m2.ref")} AS lat,
+               {synth_lon_sql("m2.ref")} AS lon,
+               (m2.ref % 23 = 0) AS is_city
+        FROM mem2 m2 WHERE m2.mtype = 'node'
+    ), cent AS (
+        SELECT relation_id, avg(lat) AS lat, avg(lon) AS lon
+        FROM np GROUP BY relation_id
+    ), items AS (
+        SELECT r.relation_id AS item_id, r.name, c.lat, c.lon
+        FROM rel r JOIN cent c ON r.relation_id = c.relation_id
+        WHERE ({_pip_crossings_sql("c.lat", "c.lon")}) % 2 = 1
+    ), entries AS (
+        SELECT CAST(c_custkey AS BIGINT) AS entry_id,
+               'Novads ' || CAST(c_custkey % {m} AS BIGINT) AS name,
+               CASE WHEN c_custkey % 17 <> 0
+                    THEN {synth_lat_sql("c_custkey")} END AS elat,
+               CASE WHEN c_custkey % 17 <> 0
+                    THEN {synth_lon_sql("c_custkey")} END AS elon
+        FROM customer WHERE c_custkey % 3 = 0
+    ), per_item AS (
+        SELECT i.item_id,
+               count(e.entry_id) AS n_matches,
+               min(e.entry_id) AS eid,
+               arg_min(e.elat, e.entry_id) AS m_elat,
+               arg_min(e.elon, e.entry_id) AS m_elon,
+               arg_min({dist}, e.entry_id) AS m_dist
+        FROM items i LEFT JOIN entries e ON e.name = i.name
+        GROUP BY i.item_id
+    ), flagged AS (
+        SELECT *,
+               (n_matches = 1 AND m_elat IS NOT NULL AND m_elon IS NOT NULL
+                AND m_dist > {_Q63_CAP_M!r}) AS mismatch
+        FROM per_item
+    ), centers AS (
+        SELECT m2.relation_id,
+               sum(CASE WHEN m2.role IN ('admin_centre', 'label') AND n.is_city
+                        THEN 1 ELSE 0 END) AS n_pref,
+               min(CASE WHEN m2.role IN ('admin_centre', 'label') AND n.is_city
+                        THEN m2.ref END) AS pref_id,
+               sum(CASE WHEN m2.role = 'admin_centre' THEN 1 ELSE 0 END) AS n_ac,
+               min(CASE WHEN m2.role = 'admin_centre' THEN m2.ref END) AS ac_id,
+               sum(CASE WHEN m2.role = 'label' THEN 1 ELSE 0 END) AS n_label,
+               min(CASE WHEN m2.role = 'label' THEN m2.ref END) AS label_id
+        FROM np n JOIN mem2 m2
+          ON m2.relation_id = n.relation_id AND m2.ref = n.ref
+        WHERE n.relation_id IN (SELECT item_id FROM items)
+        GROUP BY m2.relation_id
+    )
+    SELECT 'assigned' AS kind, item_id, eid AS entry_id,
+           CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS dist_m
+    FROM flagged WHERE n_matches = 1 AND NOT mismatch
+    UNION ALL
+    SELECT 'multiple_matches', item_id, NULL, n_matches, NULL
+    FROM flagged WHERE n_matches > 1
+    UNION ALL
+    SELECT 'coord_mismatch', item_id, eid, NULL, round(m_dist, 0)
+    FROM flagged WHERE mismatch
+    UNION ALL
+    SELECT 'missing', item_id, NULL, NULL, NULL
+    FROM flagged WHERE n_matches <> 1 OR mismatch
+    UNION ALL
+    SELECT 'extra_entry', NULL, entry_id, NULL, NULL
+    FROM entries
+    WHERE entry_id NOT IN (
+        SELECT eid FROM flagged WHERE n_matches = 1 AND NOT mismatch
+    )
+    UNION ALL
+    SELECT 'center', relation_id,
+           CASE WHEN n_pref > 0
+                THEN CASE WHEN n_pref = 1 THEN pref_id END
+                ELSE CASE WHEN n_ac = 1 THEN ac_id
+                          WHEN n_ac = 0 AND n_label = 1 THEN label_id END
+           END,
+           NULL, NULL
+    FROM centers
+    WHERE CASE WHEN n_pref > 0
+               THEN CASE WHEN n_pref = 1 THEN pref_id END
+               ELSE CASE WHEN n_ac = 1 THEN ac_id
+                         WHEN n_ac = 0 AND n_label = 1 THEN label_id END
+          END IS NOT NULL
+    """
+
+
+_ORACLES["q63_admin_boundaries"] = _q63_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# q64 — CommonBrandsAnalyzer (plans/brands.py common_brands)
+#
+# Elements = customers with brand/name/operator title tags (brand %7,
+# name %11 with a rare %211 'MAXIMA' variant so the reportable
+# low-frequency rule fires, operator %13) and shop/amenity NSI tags
+# (%9 / %17). Both the Spark fixture and the oracle consume the SAME
+# SQL value expressions, so the title coalesce, diacritic cleaning,
+# and variation-list canonicalization are bit-identical by
+# construction.
+# --------------------------------------------------------------------------
+
+_Q64_BRAND = lambda k: _case_mod(  # noqa: E731
+    k, 7, {0: "Maxima", 1: "Maxima X", 2: "Rimi", 3: "Mego", 4: "Aibe",
+           5: "Top!"}
+)
+_Q64_NAME = lambda k: (  # noqa: E731
+    f"CASE WHEN ({k}) % 211 = 5 THEN 'MAXIMA' ELSE "
+    + _case_mod(
+        k, 11, {0: "Maxima", 1: "maxima ", 2: "Maksima", 3: "Rimi Mini",
+                4: "Veikals", 5: "Kafejnīca", 6: "Elvi", 7: "Saule"}
+    )
+    + " END"
+)
+_Q64_OP = lambda k: _case_mod(  # noqa: E731
+    k, 13, {0: "Latvijas Pasts", 1: "Circle K"}
+)
+_Q64_SHOP = lambda k: _case_mod(  # noqa: E731
+    k, 9, {0: "supermarket", 3: "supermarket", 1: "convenience",
+           2: "bakery", 4: "clothes"}
+)
+_Q64_AMEN = lambda k: _case_mod(  # noqa: E731
+    k, 17, {0: "fuel", 1: "cafe", 2: "bench"}
+)
+_Q64_NSI = [
+    ("shop", ["supermarket", "convenience"]),
+    ("shop", ["bakery"]),
+    ("amenity", ["fuel", "cafe"]),
+]
+_Q64_KNOWN = [["maxima", "maxima x", "maksima"], ["rimi", "rimi mini"]]
+_Q64_GENERIC = ["veikals", "kafejnīca"]
+
+
+def _q64_elements(spark, sf_dir) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    tags = _tag_entries(
+        ("brand", F.expr(_Q64_BRAND("c_custkey"))),
+        ("name", F.expr(_Q64_NAME("c_custkey"))),
+        ("operator", F.expr(_Q64_OP("c_custkey"))),
+        ("shop", F.expr(_Q64_SHOP("c_custkey"))),
+        ("amenity", F.expr(_Q64_AMEN("c_custkey"))),
+    )
+    return c.select(F.col("c_custkey").cast("long").alias("id"), tags.alias("tags"))
+
+
+def q64_common_brands(spark, sf_dir):
+    """CommonBrandsAnalyzer: per-NSI-type title grouping with
+    diacritic-folded cleaning, brand-variation lists, the >=10
+    threshold, generic flags, NSI-value counts, and the reportable
+    low-frequency variant rule."""
+    from osmalyzer_spark.plans.brands import common_brands
+
+    return common_brands(
+        _q64_elements(spark, sf_dir),
+        nsi_entries=_Q64_NSI,
+        known_brands=_Q64_KNOWN,
+        generic_names=_Q64_GENERIC,
+    )
+
+
+def _q64_oracle_sql() -> str:
+    def _clean(x: str) -> str:
+        return (
+            f"translate(lower(trim({x})), 'āčēģīķļņōšūž', 'acegiklnosuz')"
+        )
+
+    def _py_clean(s: str) -> str:
+        s = s.strip().lower()
+        return s.translate(str.maketrans("āčēģīķļņōšūž", "acegiklnosuz"))
+
+    canon_case = "CASE "
+    for i, lst in enumerate(_Q64_KNOWN):
+        members = ", ".join(f"'{_py_clean(m)}'" for m in lst)
+        canon_case += f"WHEN cln IN ({members}) THEN 'kb:{i}' "
+    canon_case += "ELSE cln END"
+    gen_in = ", ".join(f"'{_py_clean(g)}'" for g in _Q64_GENERIC)
+
+    entry_sql = []
+    for idx, (tag, values) in enumerate(_Q64_NSI):
+        vals = ", ".join(f"'{v}'" for v in values)
+        col = "shop" if tag == "shop" else "amenity"
+        entry_sql.append(
+            f"SELECT {idx} AS nsi_idx, title, {col} AS nsi_value FROM base "
+            f"WHERE title IS NOT NULL AND {col} IN ({vals})"
+        )
+    matched = " UNION ALL ".join(entry_sql)
+    return f"""
+    WITH base AS (
+        SELECT coalesce({_Q64_BRAND("c_custkey")}, {_Q64_NAME("c_custkey")},
+                        {_Q64_OP("c_custkey")}) AS title,
+               {_Q64_SHOP("c_custkey")} AS shop,
+               {_Q64_AMEN("c_custkey")} AS amenity
+        FROM customer
+    ), matched AS (
+        {matched}
+    ), cl AS (
+        SELECT *, {_clean("title")} AS cln FROM matched
+    ), canon AS (
+        SELECT *, {canon_case} AS canon FROM cl
+    ), variants AS (
+        SELECT nsi_idx, canon, title, count(*) AS cnt,
+               max(CASE WHEN cln IN ({gen_in}) THEN 1 ELSE 0 END) AS gen
+        FROM canon GROUP BY 1, 2, 3
+    ), groups AS (
+        SELECT nsi_idx, canon, sum(cnt) AS n, count(*) AS n_variants,
+               max(cnt) AS max_cnt, max(gen) AS generic
+        FROM variants GROUP BY 1, 2
+        HAVING sum(cnt) >= 10
+    )
+    SELECT 'group' AS kind, nsi_idx, canon,
+           CASE WHEN generic = 1 THEN 'generic-issue'
+                WHEN n_variants > 1 THEN 'issue'
+                ELSE 'plain' END AS value,
+           n AS n1, n_variants AS n2
+    FROM groups
+    UNION ALL
+    SELECT 'variant', v.nsi_idx, v.canon, v.title, v.cnt, NULL
+    FROM variants v JOIN groups g
+      ON v.nsi_idx = g.nsi_idx AND v.canon = g.canon
+    UNION ALL
+    SELECT 'nsi_value', c.nsi_idx, c.canon, c.nsi_value, count(*), NULL
+    FROM canon c JOIN groups g
+      ON c.nsi_idx = g.nsi_idx AND c.canon = g.canon
+    GROUP BY 1, 2, 3, 4
+    UNION ALL
+    SELECT 'reportable', v.nsi_idx, v.canon, v.title, v.cnt, NULL
+    FROM variants v JOIN groups g
+      ON v.nsi_idx = g.nsi_idx AND v.canon = g.canon
+    WHERE g.generic = 0 AND g.n_variants > 1
+      AND v.cnt < 10 AND v.cnt <= floor(g.max_cnt / 2)
+    """
+
+
+_ORACLES["q64_common_brands"] = _q64_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5342,6 +5733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_postcodes": q60_postcodes,
         "q61_double_mapped": q61_double_mapped,
         "q62_street_names": q62_street_names,
+        "q63_admin_boundaries": q63_admin_boundaries,
+        "q64_common_brands": q64_common_brands,
     }
 
 
