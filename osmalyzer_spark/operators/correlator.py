@@ -213,7 +213,9 @@ def deferred_acceptance(
     # well-typed across rounds
     pkey = F.struct(*[c.alias(f"__k{i}") for i, c in enumerate(proposer_order)])
     akey = F.struct(*[c.alias(f"__k{i}") for i, c in enumerate(acceptor_order)])
-    cand = cand.localCheckpoint(eager=True)
+    # lazy local checkpoint: the count below is the first action, so one
+    # job both sizes the table and materializes the checkpoint blocks
+    cand = cand.localCheckpoint(eager=False)
     # Round-job sizing must follow the DATA, not the cluster (VERDICT r4
     # item 4: per-round wall grew 28% from 2 to 8 cores because every
     # round's jobs inherited cluster-sized partitioning). The candidate
@@ -290,7 +292,12 @@ def _da_rounds(
             )
         # ONE scan of the candidate table per round, materialized small:
         # everything downstream reads the checkpointed proposal slice
-        props = best_by(sl, proposer, pkey).localCheckpoint(eager=True)
+        # eager=False throughout the round body: each checkpoint
+        # materializes inside its first consumer's job instead of paying
+        # a dedicated job — the round's action count drops from ~5 to ~2
+        # (latency, not data volume, dominates round wall; BENCH.md r5
+        # measured the flat share at ~35% of the 1M 8-core leg)
+        props = best_by(sl, proposer, pkey).localCheckpoint(eager=False)
         if unassigned is None:
             # holds is empty: everything is contested, nothing untouched
             untouched = holds
@@ -306,7 +313,7 @@ def _da_rounds(
             touched = holds.join(contested, acceptor, "left_semi")
             untouched = holds.join(contested, acceptor, "left_anti")
             contenders = touched.unionByName(props)
-        winners = best_by(contenders, acceptor, akey).localCheckpoint(eager=True)
+        winners = best_by(contenders, acceptor, akey).localCheckpoint(eager=False)
         # losers covers BOTH rejected new proposals and displaced holders
         # (a displaced hold is a contender whose acceptor chose another);
         # each carries its pair's key — the next watermark is the max
@@ -323,13 +330,15 @@ def _da_rounds(
             # unions accumulate ~state_parts partitions per round; narrow
             # back to data-sized parallelism at the periodic checkpoint
             holds = holds.coalesce(max(state_parts, cand_parts)).localCheckpoint(
-                eager=True
+                eager=False
             )
         unassigned = (
             losers.groupBy(proposer)
             .agg(F.max("__lost").alias("__wm"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
+        # this count is the round's ONE materializing action: it computes
+        # winners -> losers -> unassigned and stores all three checkpoints
         n_unassigned = unassigned.count()
         # no conflicts => every proposal was accepted => every proposer
         # with remaining candidates is now held: stable, stop.

@@ -433,7 +433,8 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the sizing count below materializes the checkpoint
+        .localCheckpoint(eager=False)
     )
     # Size the ~6 shuffles per star round from the EDGE COUNT, not the
     # cluster: with session (cluster-sized) shuffle partitioning the
@@ -525,7 +526,9 @@ def _star_rounds(e: DataFrame, max_iter: int, with_rounds: bool, cc_parts: int):
             .select(F.col("v").alias("x"), F.col("mv").alias("y"))
         )
         selfs = mins2.select(F.col("u").alias("x"), F.col("mv").alias("y"))
-        e = canonical(linked.unionAll(selfs)).localCheckpoint(eager=True)
+        # lazy: the signature collect is the round's one materializing
+        # action (fixed-point detection shares the checkpoint job)
+        e = canonical(linked.unionAll(selfs)).localCheckpoint(eager=False)
         new_sig = signature(e)
         if new_sig == sig:
             break
