@@ -422,7 +422,12 @@ def connected_components_star(
     paying O(log n) rounds of shuffle latency; the candidate graph
     after dead-pair pruning is typically orders of magnitude smaller
     than the input, so this triggers exactly when round latency — not
-    data volume — dominates. Labels are identical to the distributed
+    data volume — dominates. The gate is deliberately NOT larger: the
+    scatter-min's np.minimum.at constants put a worst-case random
+    12M-edge solve at ~40 s on one core, while the distributed star
+    rounds — with lazy per-round checkpoints — clear a 4.8M-edge
+    geometric graph in ~7 s at local[8] (measured round 5), so beyond a
+    few million edges the cluster path wins even at low parallelism. Labels are identical to the distributed
     path's; rounds reports 0. Pass local_edge_threshold=0 to force the
     distributed star rounds (tests of the scale path do).
     """
