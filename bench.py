@@ -74,6 +74,19 @@ def main() -> None:
         "q39_audio_roundtrip": dq.q39_audio_roundtrip,
         "q40_video_roundtrip": dq.q40_video_roundtrip,
         "q41_phash_neardup": dq.q41_phash_neardup,
+        # round-5 analyzer families, one representative per shape:
+        # node-membership self-join, endpoint/terminal analysis, relation
+        # member resolution, string-distance cascade, PIP double-mapping,
+        # name-recognition cascade, boundary grouping, brand-title match
+        "q42_barrier_connections": dq.q42_barrier_connections,
+        "q45_terminating_ways": dq.q45_terminating_ways,
+        "q49_lone_crossings": dq.q49_lone_crossings,
+        "q50_turn_restrictions": dq.q50_turn_restrictions,
+        "q52_spelling": dq.q52_spelling,
+        "q61_double_mapped": dq.q61_double_mapped,
+        "q62_street_names": dq.q62_street_names,
+        "q63_admin_boundaries": dq.q63_admin_boundaries,
+        "q64_common_brands": dq.q64_common_brands,
         "flagship_correlator": flagship_correlator,
     }
 
