@@ -87,6 +87,7 @@ def main() -> None:
         "q62_street_names": dq.q62_street_names,
         "q63_admin_boundaries": dq.q63_admin_boundaries,
         "q64_common_brands": dq.q64_common_brands,
+        "q65_city_analyzer": dq.q65_city_analyzer,
         "flagship_correlator": flagship_correlator,
     }
 

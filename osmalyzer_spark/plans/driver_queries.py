@@ -5669,6 +5669,448 @@ def _q64_oracle_sql() -> str:
 _ORACLES["q64_common_brands"] = _q64_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q65 — CityAnalyzer composite (plans/cities.py)
+#
+# Items = official cities from customer (%4==1) with an axis-aligned
+# official boundary rectangle; OSM relations from orders (%3==0) keyed
+# by rk=o_orderkey%6000 with a mapped rectangle that is the official
+# one shifted by {0,4,25,150} m in lon (j%5), right-edge-extended
+# (j%5==4), or displaced 0.15/0.5 deg in lat (far / beyond-far cases).
+# The boundary check is GetOverlapCoveragePercent — the oracle replays
+# the engine's ring sampling SAMPLE-FOR-SAMPLE over the rectangles
+# (same step formula, segment parametrization, point-to-segment
+# distances, epsilon compare), so the coverage doubles are
+# count/count identical by construction. Tag validation compares
+# element tags against item-derived expected values
+# (ValidateElementValueMatchesDataItemValue). Both the Spark fixture
+# and the oracle consume the SAME SQL value expressions.
+# --------------------------------------------------------------------------
+
+_Q65_W = lambda k: (  # noqa: E731
+    f"(CASE WHEN ({k}) % 59 = 0 THEN 0.0001e0 "
+    f"WHEN ({k}) % 47 = 0 THEN 0.03e0 "
+    f"WHEN ({k}) % 53 = 0 THEN 0.016e0 "
+    f"ELSE 0.002e0 + (({k}) % 5) * 0.001e0 END)"
+)
+_Q65_H = lambda k: (  # noqa: E731
+    f"(CASE WHEN ({k}) % 59 = 0 THEN 0.0001e0 "
+    f"WHEN ({k}) % 47 = 0 THEN 0.0002e0 "
+    f"ELSE 0.0015e0 + (({k}) % 7) * 0.0005e0 END)"
+)
+_Q65_NAME = lambda k: f"('Pilseta ' || CAST({k} AS BIGINT))"  # noqa: E731
+_Q65_ADDR = lambda k: f"('ADDR' || CAST({k} AS BIGINT))"  # noqa: E731
+_Q65_EXP_PLACE = lambda k: (  # noqa: E731
+    f"(CASE WHEN ({k}) % 11 = 0 THEN 'city' ELSE 'town' END)"
+)
+_Q65_EXP_ADMIN = lambda k: (  # noqa: E731
+    f"(CASE WHEN ({k}) % 22 = 0 THEN '5' ELSE '7' END)"
+)
+_Q65_EXP_REF = lambda k: (  # noqa: E731
+    f"('' || CAST((({k}) * 7) % 100000 AS BIGINT))"
+)
+_Q65_EXP_POP = lambda k: (  # noqa: E731
+    f"('' || CAST((({k}) * 13) % 100000 + 100 AS BIGINT))"
+)
+
+_Q65_RK = "(o_orderkey % 6000)"
+_Q65_NAME_TAG = (
+    f"(CASE WHEN o_orderkey % 21 = 0 "
+    f"THEN {_Q65_NAME(_Q65_RK)} || ' pils.' "
+    f"ELSE {_Q65_NAME(_Q65_RK)} END)"
+)
+_Q65_ADDR_TAG = (
+    f"(CASE WHEN o_orderkey % 7 = 0 THEN {_Q65_ADDR(_Q65_RK)} END)"
+)
+_Q65_PLACE_TAG = (
+    f"(CASE WHEN o_orderkey % 43 = 0 THEN NULL "
+    f"WHEN o_orderkey % 19 = 0 THEN 'village' "
+    f"WHEN {_Q65_RK} % 11 = 0 THEN 'city' ELSE 'town' END)"
+)
+_Q65_ADMIN_TAG = (
+    f"(CASE WHEN o_orderkey % 23 = 0 THEN '8' "
+    f"WHEN {_Q65_RK} % 22 = 0 THEN '5' ELSE '7' END)"
+)
+_Q65_REF_TAG = (
+    f"('' || CAST((({_Q65_RK}) * 7) % 100000 "
+    f"+ (CASE WHEN o_orderkey % 29 = 0 THEN 1 ELSE 0 END) AS BIGINT))"
+)
+_Q65_POP_TAG = (
+    f"(CASE WHEN o_orderkey % 31 = 0 THEN NULL "
+    f"ELSE '' || CAST((({_Q65_RK}) * 13) % 100000 + 100 AS BIGINT) END)"
+)
+_Q65_DLAT = (
+    f"(CASE WHEN ({_Q65_RK}) % 41 = 0 THEN 0.5e0 "
+    f"WHEN ({_Q65_RK}) % 37 = 0 THEN 0.15e0 ELSE 0.0e0 END)"
+)
+_Q65_SHIFT = (
+    "(CASE o_orderkey % 5 WHEN 1 THEN (4.0e0 / 111139.0e0) "
+    "WHEN 2 THEN (25.0e0 / 111139.0e0) "
+    "WHEN 3 THEN (150.0e0 / 111139.0e0) ELSE 0.0e0 END)"
+)
+_Q65_EXT = (
+    f"(CASE WHEN o_orderkey % 5 = 4 "
+    f"THEN 0.0005e0 * CAST(1 + (CAST(({_Q65_RK}) / 3 AS BIGINT) % 3) "
+    f"AS DOUBLE) ELSE 0.0e0 END)"
+)
+_Q65_BLAT0 = f"({synth_lat_sql(_Q65_RK)} + {_Q65_DLAT})"
+_Q65_BLAT1 = f"(({synth_lat_sql(_Q65_RK)} + {_Q65_H(_Q65_RK)}) + {_Q65_DLAT})"
+_Q65_BLON0 = f"({synth_lon_sql(_Q65_RK)} + {_Q65_SHIFT})"
+_Q65_BLON1 = (
+    f"((({synth_lon_sql(_Q65_RK)} + {_Q65_W(_Q65_RK)}) + {_Q65_SHIFT}) "
+    f"+ {_Q65_EXT})"
+)
+
+
+def _q65_items(spark, sf_dir) -> DataFrame:
+    k = "c_custkey"
+    c = _t(spark, sf_dir, "customer").filter("c_custkey % 4 = 1")
+    df = c.select(
+        F.col("c_custkey").cast("long").alias("item_id"),
+        F.expr(_Q65_NAME(k)).alias("name"),
+        F.expr(_Q65_ADDR(k)).alias("addr_id"),
+        F.expr(_Q65_EXP_PLACE(k)).alias("exp_place"),
+        F.expr(_Q65_EXP_ADMIN(k)).alias("exp_admin"),
+        F.expr(_Q65_EXP_REF(k)).alias("exp_ref"),
+        F.expr(_Q65_EXP_POP(k)).alias("exp_pop"),
+        F.expr(synth_lat_sql(k)).alias("ilat0"),
+        F.expr(synth_lon_sql(k)).alias("ilon0"),
+        F.expr(f"({synth_lat_sql(k)} + {_Q65_H(k)})").alias("ilat1"),
+        F.expr(f"({synth_lon_sql(k)} + {_Q65_W(k)})").alias("ilon1"),
+    )
+    return df.withColumn(
+        "item_lat", (F.col("ilat0") + F.col("ilat1")) / F.lit(2.0)
+    ).withColumn("item_lon", (F.col("ilon0") + F.col("ilon1")) / F.lit(2.0))
+
+
+def _q65_relations(spark, sf_dir) -> DataFrame:
+    import numpy as np
+
+    from osmalyzer_spark.geo.polygon import Polygon, contains_expr
+
+    o = _t(spark, sf_dir, "orders").filter("o_orderkey % 3 = 0")
+    df = o.select(
+        F.col("o_orderkey").cast("long").alias("elem_id"),
+        F.expr(_Q65_NAME_TAG).alias("name_tag"),
+        F.expr(_Q65_ADDR_TAG).alias("addr_tag"),
+        F.expr(_Q65_PLACE_TAG).alias("place_tag"),
+        F.expr(_Q65_ADMIN_TAG).alias("admin_tag"),
+        F.expr(_Q65_REF_TAG).alias("ref_tag"),
+        F.expr(_Q65_POP_TAG).alias("pop_tag"),
+        F.expr("o_orderkey % 13 <> 0").alias("valid_poly"),
+        F.expr(_Q65_BLAT0).alias("blat0"),
+        F.expr(_Q65_BLAT1).alias("blat1"),
+        F.expr(_Q65_BLON0).alias("blon0"),
+        F.expr(_Q65_BLON1).alias("blon1"),
+    )
+    df = df.withColumn(
+        "elem_lat", (F.col("blat0") + F.col("blat1")) / F.lit(2.0)
+    ).withColumn("elem_lon", (F.col("blon0") + F.col("blon1")) / F.lit(2.0))
+    poly = Polygon(outers=[np.array(PIP_RING, dtype=float)], polygon_id="lv")
+    return df.filter(contains_expr(poly, "elem_lat", "elem_lon"))
+
+
+def q65_city_analyzer(spark, sf_dir):
+    """CityAnalyzer composite: name/address-keyed correlation with
+    match/far distance bands, boundary overlap-coverage validation
+    (GetOverlapCoveragePercent, sampled ring semantics), no-polygon
+    reporting, per-item tag validation, and lone/missing reporting."""
+    from osmalyzer_spark.plans.cities import (
+        COVERAGE_LIMIT,
+        COVERAGE_PROBLEM,
+        MATCH_DISTANCE_M,
+        match_cities,
+        rect_coverage_udf,
+        validate_tags,
+    )
+
+    # the six report branches below all fan out from items/rels/m —
+    # materialize each once (they are small: ids + tags + 4 corners)
+    # instead of re-running the scans, PIP filter, and match windows
+    # per branch
+    items = _q65_items(spark, sf_dir).localCheckpoint(eager=False)
+    rels = _q65_relations(spark, sf_dir).localCheckpoint(eager=False)
+
+    m = match_cities(
+        items.select("item_id", "name", "addr_id", "item_lat", "item_lon"),
+        rels.select("elem_id", "name_tag", "addr_tag", "elem_lat", "elem_lon"),
+    ).localCheckpoint(eager=False)
+    mm = m.join(items, "item_id").join(rels, "elem_id")
+
+    def _rows(df, kind, **cols):
+        defaults = {
+            "item_id": F.lit(None).cast("long"),
+            "elem_id": F.lit(None).cast("long"),
+            "rule": F.lit(None).cast("string"),
+            "found": F.lit(None).cast("string"),
+            "expected": F.lit(None).cast("string"),
+            "coverage": F.lit(None).cast("double"),
+            "dist_m": F.lit(None).cast("double"),
+        }
+        defaults.update(cols)
+        return df.select(
+            F.lit(kind).alias("kind") if isinstance(kind, str) else kind.alias("kind"),
+            *[v.alias(n) for n, v in defaults.items()],
+        )
+
+    matched_rows = _rows(
+        mm,
+        F.when(F.col("dist_m") <= F.lit(MATCH_DISTANCE_M), F.lit("matched"))
+        .otherwise(F.lit("matched_far")),
+        item_id=F.col("item_id"),
+        elem_id=F.col("elem_id"),
+        dist_m=F.round(F.col("dist_m"), 0),
+    )
+    missing = _rows(
+        items.join(m, "item_id", "left_anti"),
+        "missing_city",
+        item_id=F.col("item_id"),
+    )
+    lone = _rows(
+        rels.filter(
+            (F.col("place_tag") == "city") | F.col("place_tag").isNull()
+        ).join(m, "elem_id", "left_anti"),
+        "lone_relation",
+        elem_id=F.col("elem_id"),
+    )
+    nopoly = _rows(
+        mm.filter(~F.col("valid_poly")),
+        "no_polygon",
+        item_id=F.col("item_id"),
+        elem_id=F.col("elem_id"),
+    )
+    cov = (
+        mm.filter(F.col("valid_poly"))
+        .withColumn(
+            "coverage",
+            rect_coverage_udf()(
+                "ilat0", "ilon0", "ilat1", "ilon1",
+                "blat0", "blon0", "blat1", "blon1",
+            ),
+        )
+        .filter(F.col("coverage") < F.lit(COVERAGE_LIMIT))
+    )
+    boundary = _rows(
+        cov,
+        "boundary",
+        item_id=F.col("item_id"),
+        elem_id=F.col("elem_id"),
+        rule=F.when(
+            F.col("coverage") < F.lit(COVERAGE_PROBLEM), F.lit("problem")
+        ).otherwise(F.lit("dubious")),
+        coverage=F.col("coverage"),
+    )
+    tag_issues = _rows(
+        validate_tags(
+            mm,
+            [
+                ("name", "name_tag", "name"),
+                ("place", "place_tag", "exp_place"),
+                ("admin_level", "admin_tag", "exp_admin"),
+                ("ref", "ref_tag", "exp_ref"),
+                ("population", "pop_tag", "exp_pop"),
+            ],
+        ),
+        "tag_issue",
+        item_id=F.col("item_id"),
+        elem_id=F.col("elem_id"),
+        rule=F.col("rule"),
+        found=F.col("found"),
+        expected=F.col("expected"),
+    )
+    out = matched_rows
+    for df in (missing, lone, nopoly, boundary, tag_issues):
+        out = out.unionByName(df)
+    return out
+
+
+def _q65_seg_dist_sql(alat: str, alon: str, dlat: str, dlon: str) -> str:
+    """Point-to-segment distance in degree space for the sample point
+    (plat, plon) — mirrors geo/polygon._min_dist_to_ring's projection
+    formula term-for-term."""
+    dot = f"((plat - {alat}) * {dlat} + (plon - {alon}) * {dlon})"
+    dd = f"({dlat} * {dlat} + {dlon} * {dlon})"
+    t2 = f"least(greatest({dot} / {dd}, 0.0e0), 1.0e0)"
+    px = f"(plat - ({alat} + {t2} * {dlat}))"
+    py = f"(plon - ({alon} + {t2} * {dlon}))"
+    return f"sqrt({px} * {px} + {py} * {py})"
+
+
+def _q65_oracle_sql() -> str:
+    eps = "(10.0e0 / 111139.0e0)"
+    hav = haversine_sql("item_lat", "item_lon", "elem_lat", "elem_lon")
+    # target rectangle segments (closed ring c0->c1->c2->c3->c0 over
+    # corners (ta0,to0),(ta0,to1),(ta1,to1),(ta1,to0)):
+    segs = [
+        ("ta0", "to0", "0.0e0", "(to1 - to0)"),
+        ("ta0", "to1", "(ta1 - ta0)", "0.0e0"),
+        ("ta1", "to1", "0.0e0", "(to0 - to1)"),
+        ("ta1", "to0", "(ta0 - ta1)", "0.0e0"),
+    ]
+    matched_pt = " OR ".join(
+        f"({_q65_seg_dist_sql(*s)} <= {eps})" for s in segs
+    )
+    rules = [
+        ("name", "name_tag", "name"),
+        ("place", "place_tag", "exp_place"),
+        ("admin_level", "admin_tag", "exp_admin"),
+        ("ref", "ref_tag", "exp_ref"),
+        ("population", "pop_tag", "exp_pop"),
+    ]
+    tag_union = "\n    UNION ALL\n".join(
+        f"""    SELECT 'tag_issue' AS kind, item_id, elem_id, '{rule}' AS rule,
+           {found} AS found, {exp} AS expected,
+           CAST(NULL AS DOUBLE) AS coverage, CAST(NULL AS DOUBLE) AS dist_m
+    FROM mm WHERE {found} IS DISTINCT FROM {exp}"""
+        for rule, found, exp in rules
+    )
+    k = "c_custkey"
+    return f"""
+    WITH items0 AS (
+        SELECT CAST(c_custkey AS BIGINT) AS item_id,
+               {_Q65_NAME(k)} AS name,
+               {_Q65_ADDR(k)} AS addr_id,
+               {_Q65_EXP_PLACE(k)} AS exp_place,
+               {_Q65_EXP_ADMIN(k)} AS exp_admin,
+               {_Q65_EXP_REF(k)} AS exp_ref,
+               {_Q65_EXP_POP(k)} AS exp_pop,
+               {synth_lat_sql(k)} AS ilat0,
+               {synth_lon_sql(k)} AS ilon0,
+               ({synth_lat_sql(k)} + {_Q65_H(k)}) AS ilat1,
+               ({synth_lon_sql(k)} + {_Q65_W(k)}) AS ilon1
+        FROM customer WHERE c_custkey % 4 = 1
+    ), items AS (
+        SELECT *, (ilat0 + ilat1) / 2.0e0 AS item_lat,
+               (ilon0 + ilon1) / 2.0e0 AS item_lon
+        FROM items0
+    ), rels0 AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS elem_id,
+               {_Q65_NAME_TAG} AS name_tag,
+               {_Q65_ADDR_TAG} AS addr_tag,
+               {_Q65_PLACE_TAG} AS place_tag,
+               {_Q65_ADMIN_TAG} AS admin_tag,
+               {_Q65_REF_TAG} AS ref_tag,
+               {_Q65_POP_TAG} AS pop_tag,
+               (o_orderkey % 13 <> 0) AS valid_poly,
+               {_Q65_BLAT0} AS blat0,
+               {_Q65_BLAT1} AS blat1,
+               {_Q65_BLON0} AS blon0,
+               {_Q65_BLON1} AS blon1
+        FROM orders WHERE o_orderkey % 3 = 0
+    ), rels1 AS (
+        SELECT *, (blat0 + blat1) / 2.0e0 AS elem_lat,
+               (blon0 + blon1) / 2.0e0 AS elem_lon
+        FROM rels0
+    ), rels AS (
+        SELECT * FROM rels1
+        WHERE ({_pip_crossings_sql("elem_lat", "elem_lon")}) % 2 = 1
+    ), cand AS (
+        SELECT i.item_id, r.elem_id, i.item_lat, i.item_lon,
+               r.elem_lat, r.elem_lon
+        FROM items i JOIN rels r ON r.addr_tag = i.addr_id
+        UNION
+        SELECT i.item_id, r.elem_id, i.item_lat, i.item_lon,
+               r.elem_lat, r.elem_lon
+        FROM items i JOIN rels r ON r.name_tag = i.name
+    ), dist AS (
+        SELECT * FROM (SELECT item_id, elem_id, {hav} AS dist_m FROM cand)
+        WHERE dist_m <= 30000.0e0
+    ), r1 AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY item_id ORDER BY dist_m, elem_id) AS rn
+            FROM dist)
+        WHERE rn = 1
+    ), fin AS (
+        SELECT item_id, elem_id, dist_m FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY elem_id ORDER BY dist_m, item_id) AS rn2
+            FROM r1)
+        WHERE rn2 = 1
+    ), mm AS (
+        SELECT f.item_id, f.elem_id, f.dist_m, i.* EXCLUDE (item_id),
+               r.* EXCLUDE (elem_id)
+        FROM fin f JOIN items i ON i.item_id = f.item_id
+                   JOIN rels r ON r.elem_id = f.elem_id
+    ), dirs AS (
+        SELECT item_id, elem_id,
+               ilat0 AS sa0, ilat1 AS sa1, ilon0 AS so0, ilon1 AS so1,
+               blat0 AS ta0, blat1 AS ta1, blon0 AS to0, blon1 AS to1,
+               0 AS dir
+        FROM mm WHERE valid_poly
+        UNION ALL
+        SELECT item_id, elem_id,
+               blat0, blat1, blon0, blon1,
+               ilat0, ilat1, ilon0, ilon1, 1
+        FROM mm WHERE valid_poly
+    ), geo1 AS (
+        SELECT *, (so1 - so0) AS la, (sa1 - sa0) AS lb FROM dirs
+    ), geo2 AS (
+        SELECT *, la AS c1, (la + lb) AS c2, ((la + lb) + la) AS c3,
+               (((la + lb) + la) + lb) AS total
+        FROM geo1
+    ), geo3 AS (
+        SELECT *, least(300, greatest(10,
+               CAST(floor(total / {eps}) AS BIGINT))) AS nst
+        FROM geo2
+    ), geo4 AS (
+        SELECT *, total / CAST(nst AS DOUBLE) AS step FROM geo3
+    ), geo5 AS (
+        SELECT *, CAST(ceil((total + step * 0.5e0) / step) AS BIGINT) AS nsamp
+        FROM geo4
+    ), samp AS (
+        SELECT g.*, least(CAST(u.k AS DOUBLE) * g.step, g.total) AS ds
+        FROM geo5 g, UNNEST(generate_series(0, g.nsamp - 1)) AS u(k)
+    ), pt AS (
+        SELECT *,
+           CASE WHEN ds >= c3 THEN sa1 + (sa0 - sa1) * ((ds - c3) / lb)
+                WHEN ds >= c2 THEN sa1
+                WHEN ds >= c1 THEN sa0 + (sa1 - sa0) * ((ds - c1) / lb)
+                ELSE sa0 END AS plat,
+           CASE WHEN ds >= c3 THEN so0
+                WHEN ds >= c2 THEN so1 + (so0 - so1) * ((ds - c2) / la)
+                WHEN ds >= c1 THEN so1
+                ELSE so0 + (so1 - so0) * (ds / la) END AS plon
+        FROM samp
+    ), covdir AS (
+        SELECT item_id, elem_id, dir,
+               CAST(count(*) FILTER (WHERE {matched_pt}) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS cov
+        FROM pt GROUP BY 1, 2, 3
+    ), pcov AS (
+        SELECT item_id, elem_id, min(cov) AS coverage
+        FROM covdir GROUP BY 1, 2
+    )
+    SELECT CASE WHEN dist_m <= 10000.0e0 THEN 'matched'
+                ELSE 'matched_far' END AS kind,
+           item_id, elem_id, CAST(NULL AS VARCHAR) AS rule,
+           CAST(NULL AS VARCHAR) AS found, CAST(NULL AS VARCHAR) AS expected,
+           CAST(NULL AS DOUBLE) AS coverage, round(dist_m, 0) AS dist_m
+    FROM fin
+    UNION ALL
+    SELECT 'missing_city', item_id, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM items WHERE item_id NOT IN (SELECT item_id FROM fin)
+    UNION ALL
+    SELECT 'lone_relation', NULL, elem_id, NULL, NULL, NULL, NULL, NULL
+    FROM rels WHERE (place_tag = 'city' OR place_tag IS NULL)
+      AND elem_id NOT IN (SELECT elem_id FROM fin)
+    UNION ALL
+    SELECT 'no_polygon', item_id, elem_id, NULL, NULL, NULL, NULL, NULL
+    FROM mm WHERE NOT valid_poly
+    UNION ALL
+    SELECT 'boundary', p.item_id, p.elem_id,
+           CASE WHEN p.coverage < 0.95e0 THEN 'problem'
+                ELSE 'dubious' END,
+           NULL, NULL, p.coverage, NULL
+    FROM pcov p WHERE p.coverage < 0.99e0
+    UNION ALL
+{tag_union}
+    """
+
+
+_ORACLES["q65_city_analyzer"] = _q65_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -5735,6 +6177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_street_names": q62_street_names,
         "q63_admin_boundaries": q63_admin_boundaries,
         "q64_common_brands": q64_common_brands,
+        "q65_city_analyzer": q65_city_analyzer,
     }
 
 
