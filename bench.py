@@ -88,6 +88,7 @@ def main() -> None:
         "q63_admin_boundaries": dq.q63_admin_boundaries,
         "q64_common_brands": dq.q64_common_brands,
         "q65_city_analyzer": dq.q65_city_analyzer,
+        "q66_parcel_lockers": dq.q66_parcel_lockers,
         "flagship_correlator": flagship_correlator,
     }
 

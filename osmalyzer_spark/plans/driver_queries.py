@@ -6111,6 +6111,266 @@ def _q65_oracle_sql() -> str:
 _ORACLES["q65_city_analyzer"] = _q65_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q66/q67 — Parcel-locker analyzer family (plans/lockers.py)
+#
+# Items (listed lockers) = suppliers on an isolated 2.2 km x 1.2 km
+# grid cell each (cluster isolation: max element offset 1113 m from its
+# own cell center keeps every foreign item >= 794 m away, beyond the
+# 700 m Strong seek distance) — so the deferred-acceptance fixed point
+# degenerates to "per item: closest allowed candidate, elem_id
+# tie-break", which the oracle replays with one window. The ENGINE
+# still runs the full correlator (operators/correlator.py). Elements =
+# orders-derived parcel lockers whose name/operator/brand tags carry
+# brand substrings; offsets pick the band: ~50 m matched, ~150 m far,
+# ~400 m allowed only on a Strong (fuzzy-address) match, ~1113 m never.
+# --------------------------------------------------------------------------
+
+_Q66_BRANDING = {
+    "Omniva": ["omniva"],
+    "DPD": ["dpd"],
+    "Venipak": ["venipak"],
+}
+_Q66_TK = "(o_orderkey % 1500)"
+_Q66_ILAT = lambda k: f"(56.0e0 + (({k}) % 97) * 0.02e0)"  # noqa: E731
+_Q66_ILON = lambda k: (  # noqa: E731
+    f"(21.0e0 + (CAST(floor(({k}) / 97) AS BIGINT) % 331) * 0.02e0)"
+)
+_Q66_OP = lambda k: _case_mod(  # noqa: E731
+    k, 3, {0: "Omniva", 1: "DPD", 2: "Venipak"}
+)
+_Q66_ADDR = lambda k: (  # noqa: E731
+    f"(CASE WHEN ({k}) % 5 = 0 THEN NULL ELSE "
+    f"(CASE WHEN ({k}) % 7 = 0 THEN 'Ozolu ' ELSE 'Ozolu iela ' END "
+    f"|| CAST(({k}) % 89 + 1 AS BIGINT)) END)"
+)
+# whole-cell band overrides guarantee the far band (tk%31: every
+# element of the cell at ~150 m, so the winner is a far match) and the
+# strong-only band (tk%29: ~400 m, allowed only on a Strong
+# fuzzy-address match) are DECIDING outcomes, not just candidates that
+# lose to a closer sibling
+_Q66_OFFSET = (
+    f"(CASE WHEN ({_Q66_TK}) % 31 = 0 THEN 0.00135e0 "
+    f"WHEN ({_Q66_TK}) % 29 = 0 THEN 0.0036e0 "
+    f"ELSE (CASE o_orderkey % 7 WHEN 2 THEN 0.00135e0 "
+    f"WHEN 3 THEN 0.0036e0 WHEN 4 THEN 0.01e0 "
+    f"ELSE 0.00045e0 END) END)"
+)
+_Q66_NAME_TAG = _case_mod(
+    "o_orderkey", 11,
+    {0: "Omniva paku skapis", 1: "OMNIVA", 2: "DPD paku skapis",
+     3: "dpd Pickup", 4: "Venipak skapis", 5: "Itella Smartpost",
+     7: "Paku skapis"},
+)
+_Q66_OPERATOR_TAG = _case_mod(
+    "o_orderkey", 11, {8: "Omniva", 10: "venipak", 2: "DPD Latvia"}
+)
+_Q66_BRAND_TAG = _case_mod("o_orderkey", 11, {9: "DPD", 0: "Omniva"})
+_Q66_STREET_TAG = (
+    "(CASE WHEN o_orderkey % 19 = 0 THEN NULL "
+    "WHEN o_orderkey % 17 = 0 THEN 'Liepu iela' ELSE 'Ozolu iela' END)"
+)
+_Q66_HOUSENUM_TAG = (
+    f"(CASE WHEN o_orderkey % 23 = 0 THEN NULL "
+    f"ELSE '' || CAST(({_Q66_TK}) % 89 + 1 "
+    f"+ (CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) END)"
+)
+
+
+def _q66_items(spark, sf_dir) -> DataFrame:
+    k = "s_suppkey"
+    return _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("item_id"),
+        F.expr(_Q66_ILAT(k)).alias("item_lat"),
+        F.expr(_Q66_ILON(k)).alias("item_lon"),
+        F.expr(_Q66_OP(k)).alias("op"),
+        F.expr(_Q66_ADDR(k)).alias("address"),
+    )
+
+
+def _q66_lockers(spark, sf_dir) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").cast("long").alias("elem_id"),
+            F.expr(f"({_Q66_ILAT(_Q66_TK)} + {_Q66_OFFSET})").alias("elem_lat"),
+            F.expr(_Q66_ILON(_Q66_TK)).alias("elem_lon"),
+            F.expr(_Q66_NAME_TAG).alias("name_tag"),
+            F.expr(_Q66_OPERATOR_TAG).alias("operator_tag"),
+            F.expr(_Q66_BRAND_TAG).alias("brand_tag"),
+            F.expr(_Q66_STREET_TAG).alias("street_tag"),
+            F.expr(_Q66_HOUSENUM_TAG).alias("housenum_tag"),
+        )
+    )
+
+
+def q66_parcel_lockers(spark, sf_dir):
+    """ParcelLockerAnalyzer family: per-operator brand-substring
+    membership over name/operator/brand, then the REAL correlator with
+    the 100/200/+500(Strong) distance ladder and a fuzzy-address match
+    strength callback."""
+    from osmalyzer_spark.plans.lockers import correlate_lockers
+
+    res = correlate_lockers(
+        spark,
+        _q66_lockers(spark, sf_dir),
+        _q66_items(spark, sf_dir),
+        _Q66_BRANDING,
+    )
+    return res.select(
+        "op",
+        "kind",
+        F.coalesce("osm_id", F.lit(-1)).alias("osm_id"),
+        F.coalesce(F.col("item_id").cast("long"), F.lit(-1)).alias("item_id"),
+        F.round(F.coalesce("distance", F.lit(-1.0)), 3).alias("distance"),
+        F.coalesce("strength", F.lit(0)).alias("strength"),
+        F.coalesce("far", F.lit(False)).alias("far"),
+    )
+
+
+def q67_unknown_lockers(spark, sf_dir):
+    """UnknownParcelLockerAnalyzer: parcel lockers matching no known
+    brand variation (issue rows) + compared-value stats over the known
+    ones (distinct values per locker counted once)."""
+    from osmalyzer_spark.plans.lockers import unknown_lockers
+
+    out = unknown_lockers(_q66_lockers(spark, sf_dir), _Q66_BRANDING)
+    return out.select(
+        "kind",
+        F.coalesce("elem_id", F.lit(-1)).alias("elem_id"),
+        F.coalesce("value", F.lit("")).alias("value"),
+        F.coalesce("n", F.lit(-1)).alias("n"),
+    )
+
+
+def _q66_mem_sql() -> str:
+    """Brand membership join clause text over the VALUES(op, var) rows."""
+    return (
+        "coalesce(contains(lower(e.name_tag), b.var), FALSE) "
+        "OR coalesce(contains(lower(e.operator_tag), b.var), FALSE) "
+        "OR coalesce(contains(lower(e.brand_tag), b.var), FALSE)"
+    )
+
+
+_Q66_FIXTURE_SQL = f"""
+    items AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS item_id,
+               {_Q66_ILAT("s_suppkey")} AS item_lat,
+               {_Q66_ILON("s_suppkey")} AS item_lon,
+               {_Q66_OP("s_suppkey")} AS op,
+               {_Q66_ADDR("s_suppkey")} AS address
+        FROM supplier
+    ), elems AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS elem_id,
+               ({_Q66_ILAT(_Q66_TK)} + {_Q66_OFFSET}) AS elem_lat,
+               {_Q66_ILON(_Q66_TK)} AS elem_lon,
+               {_Q66_NAME_TAG} AS name_tag,
+               {_Q66_OPERATOR_TAG} AS operator_tag,
+               {_Q66_BRAND_TAG} AS brand_tag,
+               {_Q66_STREET_TAG} AS street_tag,
+               {_Q66_HOUSENUM_TAG} AS housenum_tag
+        FROM orders
+    )"""
+
+
+def _q66_oracle_sql() -> str:
+    # the engine fuses all operators into one DA run by rotating each
+    # operator's longitudes +40 deg/op (plans/lockers.py
+    # correlate_lockers); haversine only sees lon differences, but the
+    # oracle applies the SAME rotation so the distance doubles are
+    # bit-identical
+    hav = haversine_sql(
+        "i.item_lat",
+        "(i.item_lon + CAST(b.idx AS DOUBLE) * 40.0e0)",
+        "e.elem_lat",
+        "(e.elem_lon + b.idx * 40.0e0)",
+    )
+    brands = ", ".join(
+        f"('{op}', '{var[0]}', {idx})"
+        for idx, (op, var) in enumerate(_Q66_BRANDING.items())
+    )
+    # FuzzyAddressMatcher over the fixture's two address shapes: with an
+    # 'iela' suffix in the freeform address the street NAME is not
+    # compared (suffix-equality branch — both tag streets end 'iela');
+    # without it, the stripped tag street must be contained.
+    street_ok = (
+        "(CASE WHEN contains(lower(trim(address)), 'iela') THEN TRUE "
+        "ELSE coalesce(contains(lower(trim(address)), "
+        "trim(replace(lower(street_tag), 'iela', ''))), FALSE) END)"
+    )
+    strong = (
+        f"(address IS NOT NULL AND street_tag IS NOT NULL "
+        f"AND housenum_tag IS NOT NULL AND {street_ok} "
+        f"AND housenum_tag = "
+        f"regexp_extract(lower(trim(address)), '\\d+[a-z]?'))"
+    )
+    return f"""
+    WITH {_Q66_FIXTURE_SQL}, mem AS (
+        SELECT e.*, b.op, b.idx
+        FROM elems e JOIN (VALUES {brands}) AS b(op, var, idx)
+          ON {_q66_mem_sql()}
+    ), cand0 AS (
+        SELECT i.op, i.item_id, e.elem_id, {hav.replace("b.idx", "e.idx")} AS dist_m,
+               CASE WHEN {strong} THEN 3 ELSE 2 END AS strength
+        FROM items i JOIN mem e ON e.op = i.op
+    ), cand AS (
+        SELECT * FROM cand0
+        WHERE dist_m <= (CASE WHEN strength = 3
+                              THEN 700.0e0 ELSE 200.0e0 END)
+    ), win AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY op, item_id ORDER BY dist_m, elem_id) AS rn
+            FROM cand)
+        WHERE rn = 1
+    )
+    SELECT op,
+           CASE WHEN dist_m <= 100.0e0 THEN 'matched'
+                ELSE 'matched_far' END AS kind,
+           elem_id AS osm_id, item_id, round(dist_m, 3) AS distance,
+           strength, (dist_m > 100.0e0) AS far
+    FROM win
+    UNION ALL
+    SELECT i.op, 'unmatched_item', -1, i.item_id, -1.0e0, 0, FALSE
+    FROM items i
+    WHERE NOT EXISTS (SELECT 1 FROM win w
+                      WHERE w.op = i.op AND w.item_id = i.item_id)
+    UNION ALL
+    SELECT m.op, 'unmatched_osm', m.elem_id, -1, -1.0e0, 0, FALSE
+    FROM mem m
+    WHERE NOT EXISTS (SELECT 1 FROM win w
+                      WHERE w.op = m.op AND w.elem_id = m.elem_id)
+    """
+
+
+def _q67_oracle_sql() -> str:
+    brands = ", ".join(
+        f"('{op}', '{var[0]}')" for op, var in _Q66_BRANDING.items()
+    )
+    return f"""
+    WITH {_Q66_FIXTURE_SQL}, known AS (
+        SELECT DISTINCT e.elem_id
+        FROM elems e JOIN (VALUES {brands}) AS b(op, var)
+          ON {_q66_mem_sql()}
+    ), vals AS (
+        SELECT DISTINCT e.elem_id, v.value
+        FROM elems e JOIN known k ON k.elem_id = e.elem_id,
+             LATERAL (SELECT unnest([e.name_tag, e.operator_tag,
+                                     e.brand_tag]) AS value) v
+        WHERE v.value IS NOT NULL
+    )
+    SELECT 'unknown' AS kind, e.elem_id, '' AS value, CAST(-1 AS BIGINT) AS n
+    FROM elems e
+    WHERE e.elem_id NOT IN (SELECT elem_id FROM known)
+    UNION ALL
+    SELECT 'stat', -1, value, count(*) FROM vals GROUP BY value
+    """
+
+
+_ORACLES["q66_parcel_lockers"] = _q66_oracle_sql()
+_ORACLES["q67_unknown_lockers"] = _q67_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6178,6 +6438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_admin_boundaries": q63_admin_boundaries,
         "q64_common_brands": q64_common_brands,
         "q65_city_analyzer": q65_city_analyzer,
+        "q66_parcel_lockers": q66_parcel_lockers,
+        "q67_unknown_lockers": q67_unknown_lockers,
     }
 
 
