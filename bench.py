@@ -89,6 +89,7 @@ def main() -> None:
         "q64_common_brands": dq.q64_common_brands,
         "q65_city_analyzer": dq.q65_city_analyzer,
         "q66_parcel_lockers": dq.q66_parcel_lockers,
+        "q68_cultural_monuments": dq.q68_cultural_monuments,
         "flagship_correlator": flagship_correlator,
     }
 

@@ -6371,6 +6371,473 @@ _ORACLES["q66_parcel_lockers"] = _q66_oracle_sql()
 _ORACLES["q67_unknown_lockers"] = _q67_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q68/q69 — CulturalMonumentsAnalyzer (plans/monuments.py; reference
+# Analyzers/POIs/CulturalMonumentsAnalyzer.cs).
+#
+# Fixture: suppliers are VKPAI registry monuments on a sparse grid whose
+# inter-item spacing (>= ~2.4 km) exceeds the correlator's seek distance
+# (300 + 1200 = 1500 m), so every element has candidate pairs with AT MOST
+# its own target monument and the deferred-acceptance fixed point reduces
+# exactly to "each monument takes its closest surviving candidate"
+# (rejections are impossible: no element ever sees two proposers). That
+# lets the oracle use one window instead of the recursive GS — q27 gates
+# the contended DA itself. Customers are OSM heritage elements placed at a
+# target monument + a distance-band offset (0 / ~24.5 m / ~134 m / ~579 m
+# / ~2 km) crossed with 12 tag shapes that drive every branch of the
+# DoesOsmNodeMatchMonument cascade, the lone allowance, and the
+# dead-code heritage quirk (strength is an output column, so a wrong
+# branch order or a "fixed" quirk changes the hash).
+# --------------------------------------------------------------------------
+
+_Q68_TK = "((c_custkey % 90) + 1)"  # target monument; items 91-100 stay bare
+_Q68_BLK = "CAST(floor(c_custkey / 100.0e0) AS INT)"
+_Q68_BAND = f"({_Q68_BLK} % 5)"
+_Q68_M = f"(({_Q68_TK} + {_Q68_BLK}) % 12)"
+_Q68_ILAT = lambda k: f"(56.00e0 + (({k}) % 97) * 0.04e0)"  # noqa: E731
+_Q68_ILON = lambda k: f"(24.00e0 + (({k}) % 89) * 0.03e0)"  # noqa: E731
+# match 30 / far 300 / strong +1200: bands land at matched, matched,
+# matched_far, strong-only matched_far, dead (> 1500 m seek)
+_Q68_OFFSET = (
+    f"(CASE {_Q68_BAND} WHEN 0 THEN 0.0e0 WHEN 1 THEN 0.00022e0 "
+    f"WHEN 2 THEN 0.0012e0 WHEN 3 THEN 0.0052e0 ELSE 0.018e0 END)"
+)
+_Q68_TK_S = f"CAST({_Q68_TK} AS STRING)"
+# m=0 name Strong (and a bad ref the cascade must NOT reach first);
+# m=1 old_name Strong; m=2 valid ref Strong (heritage present, unreached);
+# m=3 unknown-int ref Good; m=4 non-int ref Good; m=5 heritage Regular
+# (dead-code quirk; vkpai oper present, unreached); m=6/7 vkpai operator
+# Good; m=8 other operator Regular (valid wikidata present, unreached);
+# m=9 wikidata Strong iff the monument has one (odd keys); m=10 non-long
+# wikidata -> no strength; m=11 bare
+_Q68_NAME_TAG = f"(CASE WHEN {_Q68_M} = 0 THEN 'Monument ' || {_Q68_TK_S} END)"
+_Q68_OLD_NAME_TAG = (
+    f"(CASE WHEN {_Q68_M} = 1 THEN ' monument ' || {_Q68_TK_S} END)"
+)
+_Q68_VKPAI_TAG = (
+    f"(CASE WHEN {_Q68_M} = 2 THEN CAST(1000 + {_Q68_TK} AS STRING) "
+    f"WHEN {_Q68_M} = 3 OR {_Q68_M} = 0 THEN CAST(5000 + {_Q68_TK} AS STRING) "
+    f"WHEN {_Q68_M} = 4 THEN 'VK-' || {_Q68_TK_S} END)"
+)
+_Q68_HERITAGE_TAG = (
+    f"(CASE WHEN {_Q68_M} = 5 THEN '2' WHEN {_Q68_M} = 2 THEN '1' END)"
+)
+_Q68_OPER_TAG = (
+    f"(CASE WHEN {_Q68_M} = 6 THEN 'VKPAI filiāle' "
+    f"WHEN {_Q68_M} = 7 THEN 'Valsts kultūras pieminekļu aizsardzības inspekcija' "
+    f"WHEN {_Q68_M} = 8 THEN 'Pašvaldība' "
+    f"WHEN {_Q68_M} = 5 THEN 'VKPAI' END)"
+)
+_Q68_WD_TAG = (
+    f"(CASE WHEN {_Q68_M} = 9 OR {_Q68_M} = 8 "
+    f"THEN CAST(900000 + {_Q68_TK} AS STRING) "
+    f"WHEN {_Q68_M} = 10 THEN 'Q' || {_Q68_TK_S} END)"
+)
+_Q68_ITEM_WD = (
+    "(CASE WHEN s_suppkey % 2 = 1 THEN CAST(900000 + s_suppkey AS STRING) END)"
+)
+
+
+def _q68_items(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("item_id"),
+        F.expr(_Q68_ILAT("s_suppkey")).alias("item_lat"),
+        F.expr(_Q68_ILON("s_suppkey")).alias("item_lon"),
+        F.expr("'Monument ' || CAST(s_suppkey AS STRING)").alias("item_name"),
+        F.expr("1000 + s_suppkey").cast("long").alias("ref_id"),
+        F.expr(_Q68_ITEM_WD).alias("item_wd"),
+    )
+
+
+def _q68_elements(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("elem_id"),
+        F.expr(f"({_Q68_ILAT(_Q68_TK)} + {_Q68_OFFSET})").alias("elem_lat"),
+        F.expr(_Q68_ILON(_Q68_TK)).alias("elem_lon"),
+        F.expr(_Q68_NAME_TAG).alias("name_tag"),
+        F.expr(_Q68_OLD_NAME_TAG).alias("old_name_tag"),
+        F.expr(_Q68_VKPAI_TAG).alias("vkpai_tag"),
+        F.expr(_Q68_HERITAGE_TAG).alias("heritage_tag"),
+        F.expr(_Q68_OPER_TAG).alias("oper_tag"),
+        F.expr(_Q68_WD_TAG).alias("wikidata_tag"),
+    )
+
+
+def q68_cultural_monuments(spark, sf_dir):
+    """CulturalMonumentsAnalyzer: the real correlator with the
+    30/300/+1200(Strong) ladder, the DoesOsmNodeMatchMonument strength
+    cascade (incl. the dead-code heritage quirk) and the
+    IsOsmElementHeritagePoiByItself lone allowance, over synthetic
+    registry monuments and tagged heritage elements."""
+    from osmalyzer_spark.plans.monuments import correlate_monuments
+
+    corr, _ = correlate_monuments(
+        spark, _q68_elements(spark, sf_dir), _q68_items(spark, sf_dir)
+    )
+    return corr.select(
+        "kind",
+        F.coalesce("osm_id", F.lit(-1)).alias("osm_id"),
+        F.coalesce(F.col("item_id").cast("long"), F.lit(-1)).alias("item_id"),
+        F.round(F.coalesce("distance", F.lit(-1.0)), 3).alias("distance"),
+        F.coalesce("strength", F.lit(0)).alias("strength"),
+        F.coalesce("far", F.lit(False)).alias("far"),
+    )
+
+
+def q69_monument_refs(spark, sf_dir):
+    """ValidateElementHasAcceptableValue('ref:LV:vkpai'): heritage
+    elements whose ref value string-equals no registry ReferenceID."""
+    from osmalyzer_spark.plans.monuments import monument_ref_issues
+
+    return monument_ref_issues(
+        _q68_elements(spark, sf_dir), _q68_items(spark, sf_dir)
+    ).select("elem_id", "value")
+
+
+def _q68_fixture_sql() -> str:
+    return f"""
+    i AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS item_id,
+               {_Q68_ILAT("s_suppkey")} AS item_lat,
+               {_Q68_ILON("s_suppkey")} AS item_lon,
+               'Monument ' || CAST(s_suppkey AS STRING) AS item_name,
+               CAST(1000 + s_suppkey AS BIGINT) AS ref_id,
+               {_Q68_ITEM_WD} AS item_wd
+        FROM supplier
+    ), c AS (
+        SELECT CAST(c_custkey AS BIGINT) AS elem_id,
+               ({_Q68_ILAT(_Q68_TK)} + {_Q68_OFFSET}) AS elem_lat,
+               {_Q68_ILON(_Q68_TK)} AS elem_lon,
+               {_Q68_NAME_TAG} AS name_tag,
+               {_Q68_OLD_NAME_TAG} AS old_name_tag,
+               {_Q68_VKPAI_TAG} AS vkpai_tag,
+               {_Q68_HERITAGE_TAG} AS heritage_tag,
+               {_Q68_OPER_TAG} AS oper_tag,
+               {_Q68_WD_TAG} AS wikidata_tag
+        FROM customer
+    )"""
+
+
+def _q68_oracle_sql() -> str:
+    fuzzy = (
+        "coalesce(contains(lower(trim({e})), lower(trim(i.item_name))) "
+        "OR contains(lower(trim(i.item_name)), lower(trim({e}))), FALSE)"
+    )
+    oper_vkpai = (
+        "(coalesce(contains(lower(oper_tag), 'vkpai'), FALSE) OR "
+        "coalesce(contains(lower(oper_tag), "
+        "'valsts kultūras pieminekļu aizsardzības inspekcija'), FALSE))"
+    )
+    strength = f"""CASE
+        WHEN {fuzzy.format(e="name_tag")} OR {fuzzy.format(e="old_name_tag")}
+          THEN 3
+        WHEN vkpai_tag IS NOT NULL THEN
+          (CASE WHEN try_cast(vkpai_tag AS INTEGER) = i.ref_id
+                THEN 3 ELSE 2 END)
+        WHEN heritage_tag IS NOT NULL THEN 1
+        WHEN oper_tag IS NOT NULL THEN
+          (CASE WHEN {oper_vkpai} THEN 2 ELSE 1 END)
+        WHEN i.item_wd IS NOT NULL AND wikidata_tag IS NOT NULL
+             AND length(wikidata_tag) > 1
+             AND try_cast(wikidata_tag AS BIGINT) IS NOT NULL
+             AND CAST(try_cast(wikidata_tag AS BIGINT) AS STRING) = i.item_wd
+          THEN 3
+        ELSE 0
+      END"""
+    wd_probe = (
+        "(CASE WHEN wikidata_tag IS NOT NULL AND length(wikidata_tag) > 1 "
+        "AND try_cast(wikidata_tag AS BIGINT) IS NOT NULL "
+        "THEN CAST(try_cast(wikidata_tag AS BIGINT) AS STRING) END)"
+    )
+    lone = (
+        f"(vkpai_tag IS NOT NULL OR (oper_tag IS NOT NULL AND {oper_vkpai}) "
+        f"OR coalesce({wd_probe} IN "
+        f"(SELECT item_wd FROM i WHERE item_wd IS NOT NULL), FALSE))"
+    )
+    return f"""
+    WITH {_q68_fixture_sql()}, cand AS (
+        SELECT * FROM (
+            SELECT i.item_id, c.elem_id, {_PAIR_DIST_SQL} AS dist_m,
+                   ({strength}) AS strength
+            FROM i CROSS JOIN c
+        ) p
+        WHERE strength > 0
+          AND dist_m <= (CASE WHEN strength >= 3
+                              THEN 1500.0e0 ELSE 300.0e0 END)
+    ), matched AS (
+        SELECT item_id, elem_id, strength, dist_m FROM (
+            SELECT cand.*, row_number() OVER (
+                PARTITION BY item_id ORDER BY dist_m, elem_id) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT CASE WHEN dist_m > 30.0e0 THEN 'matched_far' ELSE 'matched' END
+             AS kind,
+           elem_id AS osm_id, item_id, round(dist_m, 3) AS distance,
+           strength, dist_m > 30.0e0 AS far
+    FROM matched
+    UNION ALL
+    SELECT 'unmatched_item', CAST(-1 AS BIGINT), item_id, -1.0e0, 0, FALSE
+    FROM i WHERE item_id NOT IN (SELECT item_id FROM matched)
+    UNION ALL
+    SELECT CASE WHEN {lone} THEN 'lone_osm' ELSE 'unmatched_osm' END,
+           elem_id, CAST(-1 AS BIGINT), -1.0e0, 0, FALSE
+    FROM c WHERE elem_id NOT IN (SELECT elem_id FROM matched)
+    """
+
+
+def _q69_oracle_sql() -> str:
+    return f"""
+    WITH {_q68_fixture_sql()}
+    SELECT elem_id, vkpai_tag AS value
+    FROM c
+    WHERE vkpai_tag IS NOT NULL
+      AND vkpai_tag NOT IN (SELECT CAST(ref_id AS STRING) FROM i)
+    """
+
+
+_ORACLES["q68_cultural_monuments"] = _q68_oracle_sql()
+_ORACLES["q69_monument_refs"] = _q69_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# q70 — LVCRoadAnalyzer (plans/lvc.py; reference
+# Analyzers/Roads/LVCRoadAnalyzer.cs).
+#
+# Fixture: orders are ref-tagged ways (12 ref templates covering valid
+# A/P/V codes at and beyond their ceilings, multi-token refs, the four
+# excluded municipal patterns, plain-unrecognized refs, and the
+# mixed-valid+invalid quirk case), with scope-exclusion tags and
+# junction=roundabout driven by independent moduli; parts are road route
+# relations (incl. wrong-route-type and multi-token raw refs); suppliers
+# are the road law (codes + shared-segment pairs, built so some pairs
+# are mapped, some keys are unmapped, and some partners are genuinely
+# missing). Both element sets clip to PIP_RING through the engine's ray
+# cast / the hand-expanded parity SQL (q12's proven pairing). The oracle
+# recomputes IsValidRef/IsExcludedRef with DuckDB's regex engine against
+# the engine's Java regexes — a differential test — and mirrors the
+# all-token SplitValuesCheck semantics with bool_and. Ref tokens are
+# distinct within every fixture ref, so the oracle's tok<tok self-join
+# enumerates exactly the engine's ordered unnested pairs.
+# --------------------------------------------------------------------------
+
+_Q70_K = "o_orderkey"
+_Q70_REF = f"""(CASE ({_Q70_K}) % 12
+    WHEN 0 THEN 'A' || CAST(({_Q70_K}) % 30 + 1 AS STRING)
+    WHEN 1 THEN 'A' || CAST(31 + ({_Q70_K}) % 20 AS STRING)
+    WHEN 2 THEN 'P' || CAST(({_Q70_K}) % 300 + 1 AS STRING)
+    WHEN 3 THEN 'V' || CAST(({_Q70_K}) % 3000 + 1 AS STRING)
+    WHEN 4 THEN 'V' || CAST(({_Q70_K}) % 3000 + 1 AS STRING)
+                || ';P' || CAST(({_Q70_K}) % 300 + 1 AS STRING)
+    WHEN 5 THEN 'C-' || CAST(({_Q70_K}) % 100 + 1 AS STRING)
+    WHEN 6 THEN '62' || lpad(CAST(({_Q70_K}) % 100 AS STRING), 2, '0')
+                || 'B' || lpad(CAST(({_Q70_K}) % 1000 AS STRING), 3, '0')
+    WHEN 7 THEN 'X' || CAST(({_Q70_K}) % 9 + 1 AS STRING)
+    WHEN 8 THEN (CASE WHEN ({_Q70_K}) % 23 = 0 THEN 'A29;A30'
+                 ELSE 'A' || CAST(({_Q70_K}) % 28 + 1 AS STRING)
+                      || ';A' || CAST(({_Q70_K} + 7) % 28 + 1 AS STRING) END)
+    WHEN 9 THEN 'A' || CAST(({_Q70_K}) % 30 + 1 AS STRING) || ';P05'
+    WHEN 10 THEN 'B3.-' || lpad(CAST(({_Q70_K}) % 100 AS STRING), 2, '0')
+    ELSE 'A1-' || lpad(CAST(({_Q70_K}) % 100 AS STRING), 2, '0')
+    END)"""
+_Q70_HW = f"(CASE WHEN ({_Q70_K}) % 19 <> 0 THEN 'secondary' END)"
+_Q70_AERO = f"(CASE WHEN ({_Q70_K}) % 17 = 0 THEN 'taxiway' END)"
+_Q70_ABA = f"(CASE WHEN ({_Q70_K}) % 37 = 0 THEN 'runway' END)"
+_Q70_DIS = f"(CASE WHEN ({_Q70_K}) % 41 = 0 THEN 'apron' END)"
+_Q70_RAIL = f"(CASE WHEN ({_Q70_K}) % 29 = 0 THEN 'rail' END)"
+_Q70_RB = f"(CASE WHEN ({_Q70_K}) % 23 = 0 THEN 'roundabout' END)"
+
+_Q70_P = "p_partkey"
+_Q70_RTYPE = f"(CASE WHEN ({_Q70_P}) % 13 = 0 THEN 'multipolygon' ELSE 'route' END)"
+_Q70_ROUTE = f"(CASE WHEN ({_Q70_P}) % 11 = 0 THEN 'bicycle' ELSE 'road' END)"
+_Q70_RREF = f"""(CASE ({_Q70_P}) % 4
+    WHEN 0 THEN 'A' || CAST(({_Q70_P}) % 30 + 1 AS STRING)
+    WHEN 1 THEN 'P' || CAST(({_Q70_P}) % 300 + 1 AS STRING)
+    WHEN 2 THEN 'V' || CAST(({_Q70_P}) % 3000 + 1 AS STRING)
+    ELSE 'A' || CAST(({_Q70_P}) % 30 + 1 AS STRING)
+         || ';P' || CAST(({_Q70_P}) % 300 + 1 AS STRING)
+    END)"""
+
+_Q70_LAW = """(CASE s_suppkey % 3
+    WHEN 0 THEN 'A' || CAST(s_suppkey % 35 + 1 AS STRING)
+    WHEN 1 THEN 'P' || CAST(s_suppkey * 3 % 310 + 1 AS STRING)
+    ELSE 'V' || CAST(s_suppkey * 31 % 3100 + 1 AS STRING)
+    END)"""
+_Q70_SH_KEY = "('V' || CAST(s_suppkey % 3000 + 1 AS STRING))"
+_Q70_SH_VAL = """(CASE WHEN s_suppkey % 2 = 0
+    THEN 'P' || CAST(s_suppkey % 300 + 1 AS STRING)
+    ELSE 'A' || CAST(s_suppkey % 30 + 1 AS STRING) END)"""
+
+
+def _q70_ways(spark, sf_dir) -> DataFrame:
+    tags = (
+        f"map_filter(map("
+        f"'ref', {_Q70_REF}, 'highway', {_Q70_HW}, 'aeroway', {_Q70_AERO}, "
+        f"'abandoned:aeroway', {_Q70_ABA}, 'disused:aeroway', {_Q70_DIS}, "
+        f"'railway', {_Q70_RAIL}, 'junction', {_Q70_RB}), "
+        f"(k, v) -> v IS NOT NULL)"
+    )
+    return _t(spark, sf_dir, "orders").select(
+        F.col(_Q70_K).cast("long").alias("id"),
+        F.expr(tags).alias("tags"),
+        F.expr(synth_lat_sql(_Q70_K)).alias("lat"),
+        F.expr(synth_lon_sql(_Q70_K)).alias("lon"),
+    )
+
+
+def _q70_rels(spark, sf_dir) -> DataFrame:
+    tags = (
+        f"map('type', {_Q70_RTYPE}, 'route', {_Q70_ROUTE}, "
+        f"'ref', {_Q70_RREF})"
+    )
+    return _t(spark, sf_dir, "part").select(
+        F.col(_Q70_P).cast("long").alias("id"),
+        F.expr(tags).alias("tags"),
+        F.expr(synth_lat_sql(_Q70_P)).alias("lat"),
+        F.expr(synth_lon_sql(_Q70_P)).alias("lon"),
+    )
+
+
+def q70_lvc_roads(spark, sf_dir):
+    """LVCRoadAnalyzer: the road-law cross-reference report (map vs law
+    membership, shared-segment pairs both directions, route-relation
+    presence by raw ref, unrecognized/excluded refs) over ref-tagged
+    ways clipped to the country polygon."""
+    import numpy as np
+
+    from osmalyzer_spark.geo.polygon import Polygon
+    from osmalyzer_spark.plans.lvc import lvc_road_report
+
+    poly = Polygon(outers=[np.array(PIP_RING, dtype=float)], polygon_id="lv")
+    law = _t(spark, sf_dir, "supplier").select(
+        F.expr(_Q70_LAW).alias("code")
+    )
+    shared = _t(spark, sf_dir, "supplier").select(
+        F.expr(_Q70_SH_KEY).alias("code"), F.expr(_Q70_SH_VAL).alias("shared")
+    )
+    return lvc_road_report(
+        _q70_ways(spark, sf_dir), _q70_rels(spark, sf_dir), law, shared,
+        polygon=poly,
+    )
+
+
+def _q70_oracle_sql() -> str:
+    valid = (
+        "(CASE WHEN regexp_matches(tok, '^[AVP][1-9][0-9]{0,3}$') "
+        "THEN try_cast(substring(tok, 2) AS INT) <= "
+        "(CASE substring(tok, 1, 1) WHEN 'A' THEN 30 WHEN 'P' THEN 300 "
+        "ELSE 3000 END) ELSE FALSE END)"
+    )
+    excluded = (
+        "(regexp_matches(tok, '^C-?[1-9][0-9]{0,2}$') "
+        "OR regexp_matches(tok, '^[AB][0-9]\\.-[0-9]{2}$') "
+        "OR regexp_matches(tok, '^62[0-9]{2}[ABCD][0-9]{3}$') "
+        "OR regexp_matches(tok, '^[ABC]1-[0-9]{2}$'))"
+    )
+    w_lat = synth_lat_sql(_Q70_K)
+    w_lon = synth_lon_sql(_Q70_K)
+    r_lat = synth_lat_sql(_Q70_P)
+    r_lon = synth_lon_sql(_Q70_P)
+    return f"""
+    WITH w AS (
+        SELECT CAST({_Q70_K} AS BIGINT) AS id, {_Q70_REF} AS ref,
+               ({_Q70_K}) % 23 = 0 AS roundabout
+        FROM orders
+        WHERE ({_Q70_K}) % 19 <> 0 AND ({_Q70_K}) % 17 <> 0
+          AND ({_Q70_K}) % 37 <> 0 AND ({_Q70_K}) % 41 <> 0
+          AND ({_Q70_K}) % 29 <> 0
+          AND ({_pip_crossings_sql(w_lat, w_lon)}) % 2 = 1
+    ), wtok AS (
+        SELECT id, roundabout, unnest(string_split(ref, ';')) AS tok FROM w
+    ), wv AS (
+        SELECT id, roundabout, tok, {valid} AS is_valid, {excluded} AS is_excl
+        FROM wtok
+    ), rec AS (
+        SELECT id FROM wv GROUP BY id HAVING bool_and(is_valid)
+    ), roads_by_ref AS (
+        SELECT tok AS value, count(*) AS n
+        FROM wv WHERE id IN (SELECT id FROM rec) GROUP BY tok
+    ), law AS (
+        SELECT DISTINCT {_Q70_LAW} AS code FROM supplier
+    ), lshare AS (
+        SELECT {_Q70_SH_KEY} AS code, {_Q70_SH_VAL} AS shared FROM supplier
+    ), wpairs AS (
+        SELECT a.id, a.tok AS pa, b.tok AS pb,
+               a.roundabout
+        FROM wv a JOIN wv b ON a.id = b.id AND a.tok < b.tok
+    ), pair_groups AS (
+        SELECT pa, pb, count(*) AS n, bool_and(roundabout) AS all_rb
+        FROM wpairs GROUP BY pa, pb
+    ), law_pairs AS (
+        SELECT DISTINCT least(code, shared) AS pa, greatest(code, shared) AS pb
+        FROM lshare
+    ), r AS (
+        SELECT CAST({_Q70_P} AS BIGINT) AS id, {_Q70_RREF} AS ref
+        FROM part
+        WHERE {_Q70_RTYPE} = 'route' AND {_Q70_ROUTE} = 'road'
+          AND ({_pip_crossings_sql(r_lat, r_lon)}) % 2 = 1
+    ), rv AS (
+        SELECT id, ref FROM (
+            SELECT id, ref, unnest(string_split(ref, ';')) AS tok FROM r
+        ) GROUP BY id, ref HAVING bool_and({valid})
+    ), rel_counts AS (
+        SELECT ref AS code, count(*) AS n FROM rv GROUP BY ref
+    ), all_inv AS (
+        SELECT id FROM wv GROUP BY id HAVING bool_and(NOT is_valid)
+    ), pre_groups AS (
+        SELECT DISTINCT tok FROM wv WHERE id IN (SELECT id FROM all_inv)
+    ), kept AS (
+        SELECT id FROM wv WHERE id IN (SELECT id FROM all_inv)
+        GROUP BY id HAVING bool_and(NOT is_excl)
+    ), unrec_groups AS (
+        SELECT tok AS value, count(*) AS n
+        FROM wv WHERE id IN (SELECT id FROM kept) GROUP BY tok
+    )
+    SELECT 'mapped_not_in_law' AS kind, value AS a, '' AS b,
+           CAST(n AS BIGINT) AS n
+    FROM roads_by_ref WHERE value NOT IN (SELECT code FROM law)
+    UNION ALL
+    SELECT 'law_not_mapped', code, '', -1 FROM law
+    WHERE code NOT IN (SELECT value FROM roads_by_ref)
+    UNION ALL
+    SELECT 'unshared', ls.code, ls.shared, -1 FROM lshare ls
+    WHERE ls.code IN (SELECT value FROM roads_by_ref)
+      AND NOT EXISTS (
+        SELECT 1 FROM wpairs p
+        WHERE p.id IN (SELECT id FROM rec)
+          AND p.pa = least(ls.code, ls.shared)
+          AND p.pb = greatest(ls.code, ls.shared))
+    UNION ALL
+    SELECT 'shared_not_in_law', pa, pb, CAST(n AS BIGINT) FROM pair_groups
+    WHERE NOT all_rb
+      AND NOT EXISTS (SELECT 1 FROM law_pairs lp
+                      WHERE lp.pa = pair_groups.pa AND lp.pb = pair_groups.pb)
+    UNION ALL
+    SELECT 'shared_roundabout_only', pa, pb, -1 FROM pair_groups
+    WHERE all_rb
+      AND NOT EXISTS (SELECT 1 FROM law_pairs lp
+                      WHERE lp.pa = pair_groups.pa AND lp.pb = pair_groups.pb)
+    UNION ALL
+    SELECT 'missing_relation', value, '', -1 FROM roads_by_ref
+    WHERE value NOT IN (SELECT code FROM rel_counts)
+    UNION ALL
+    SELECT 'same_ref_relations', code, '', CAST(n AS BIGINT) FROM rel_counts
+    WHERE n > 1 AND code IN (SELECT value FROM roads_by_ref)
+    UNION ALL
+    SELECT 'extra_relation', ref, CAST(id AS STRING), -1 FROM rv
+    WHERE ref NOT IN (SELECT value FROM roads_by_ref)
+    UNION ALL
+    SELECT 'unrecognized', value, '', CAST(n AS BIGINT) FROM unrec_groups
+    UNION ALL
+    SELECT 'excluded_count', '', '',
+           (SELECT count(*) FROM pre_groups)
+             - (SELECT count(*) FROM unrec_groups)
+    """
+
+
+_ORACLES["q70_lvc_roads"] = _q70_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6440,6 +6907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_city_analyzer": q65_city_analyzer,
         "q66_parcel_lockers": q66_parcel_lockers,
         "q67_unknown_lockers": q67_unknown_lockers,
+        "q68_cultural_monuments": q68_cultural_monuments,
+        "q69_monument_refs": q69_monument_refs,
+        "q70_lvc_roads": q70_lvc_roads,
     }
 
 
