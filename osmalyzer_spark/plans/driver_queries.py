@@ -6838,6 +6838,165 @@ def _q70_oracle_sql() -> str:
 _ORACLES["q70_lvc_roads"] = _q70_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q71 — VDB place-name pipeline (plans/vdb.py; reference
+# VdbAnalysisData.cs:160-418 + VdbAnalyzer.cs:20-100).
+#
+# Fixture: customers are raw VDB rows whose every compared field derives
+# from e = c_custkey % 600, so duplicate-candidate groups are exactly
+# the e-classes: e in 1..300 has three members (left UNTOUCHED — the
+# reference only resolves groups of exactly 2), e in {0, 301..599} has
+# two. Even e in 302..598 has its e+600 member whitelisted (resolved:
+# keep the known row, drop the twin); the rest resolve to "remove both"
+# unresolved issues. The alt-names cell cycles 9 templates through the
+# REAL bracket parser (pandas UDF) while the oracle predicts the
+# qualifier lists structurally — a differential test of the parser —
+# and the state/type/official/active stats replay the STAVOKLIS/VEIDS
+# mappings in SQL.
+# --------------------------------------------------------------------------
+
+_Q71_E = "(c_custkey % 600)"
+_Q71_E_S = f"CAST({_Q71_E} AS STRING)"
+_Q71_MAIN = f"('Vieta ' || {_Q71_E_S})"
+_Q71_SECONDARY = f"(CASE WHEN {_Q71_E} % 5 = 0 THEN 'Otrs ' || {_Q71_E_S} END)"
+_Q71_OFFICIAL_NAME = (
+    f"(CASE WHEN {_Q71_E} % 4 = 0 THEN 'Oficiālais ' || {_Q71_E_S} END)"
+)
+_Q71_ALL_NAMES = f"""(CASE {_Q71_E} % 9
+    WHEN 0 THEN 'Orlas ezers [o]'
+    WHEN 1 THEN 'Rokolu ezers [o, o]'
+    WHEN 2 THEN 'Adamovas azars (latgaliski)'
+    WHEN 3 THEN 'Vērgali [x] (agrāk arī)'
+    WHEN 4 THEN 'Vylku azars (latgaliski arī), Rokuļu ezers (kļūdaini)'
+    WHEN 5 THEN 'Byelaye voz.'
+    WHEN 6 THEN 'Dzelzāmurs [a] [b]'
+    WHEN 7 THEN NULL
+    ELSE 'Ozoliņi ' || {_Q71_E_S} || ' (īslaicīgi)'
+    END)"""
+_Q71_STATE = f"""(CASE {_Q71_E} % 6
+    WHEN 0 THEN 'pastāv' WHEN 1 THEN 'daļēji izzudis'
+    WHEN 2 THEN 'nepastāv' WHEN 3 THEN 'nedarbojas'
+    WHEN 4 THEN 'nezināms' ELSE 'nosusināts/ nolaists' END)"""
+_Q71_TYPE = f"""(CASE {_Q71_E} % 8
+    WHEN 0 THEN 'viensēta' WHEN 1 THEN 'ciems' WHEN 2 THEN 'mazciems'
+    WHEN 3 THEN 'pagasts' WHEN 4 THEN 'novads'
+    WHEN 5 THEN 'valstspilsēta' WHEN 6 THEN 'novada pilsēta'
+    ELSE 'ezers' END)"""
+_Q71_OFFICIAL = (
+    f"(CASE WHEN {_Q71_E} % 2 = 0 THEN 'Oficiāls' ELSE 'Neoficiāls' END)"
+)
+_Q71_PARISH = f"('Pagasts ' || CAST({_Q71_E} % 30 AS STRING))"
+_Q71_MUNI = f"('Novads ' || CAST({_Q71_E} % 20 AS STRING))"
+_Q71_COMPARED = [
+    "main_name", "secondary_name", "official_name", "all_names",
+    "state_raw", "type_raw", "official_raw", "parish", "municipality",
+]
+_Q71_KNOWN = [(str(e + 600), f"Vieta {e}") for e in range(302, 600, 2)]
+
+
+def _q71_raw(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "customer").select(
+        F.expr("CAST(c_custkey AS STRING)").alias("object_id"),
+        F.expr("'2024-' || CAST(c_custkey % 12 + 1 AS STRING)").alias(
+            "datums_izm"
+        ),
+        F.expr(_Q71_MAIN).alias("main_name"),
+        F.expr(_Q71_SECONDARY).alias("secondary_name"),
+        F.expr(_Q71_OFFICIAL_NAME).alias("official_name"),
+        F.expr(_Q71_ALL_NAMES).alias("all_names"),
+        F.expr(_Q71_STATE).alias("state_raw"),
+        F.expr(_Q71_TYPE).alias("type_raw"),
+        F.expr(_Q71_OFFICIAL).alias("official_raw"),
+        F.expr(_Q71_PARISH).alias("parish"),
+        F.expr(_Q71_MUNI).alias("municipality"),
+    )
+
+
+def q71_vdb_pipeline(spark, sf_dir):
+    """VDB pipeline: duplicate-candidate resolution (pairs-only, known
+    whitelist, 3+-groups untouched), typed STAVOKLIS/VEIDS parsing, and
+    the analyzer's admin-category / qualifier-histogram stats through
+    the real alt-names parser."""
+    from osmalyzer_spark.plans.vdb import (
+        vdb_resolve_duplicates,
+        vdb_stats,
+        vdb_typed,
+    )
+
+    survivors, issues = vdb_resolve_duplicates(
+        spark, _q71_raw(spark, sf_dir), _Q71_COMPARED, _Q71_KNOWN
+    )
+    stats = vdb_stats(vdb_typed(survivors))
+    return stats.select(
+        "kind", "a", F.lit("").alias("b"), F.col("n").cast("long").alias("n")
+    ).unionByName(
+        issues.select(
+            "kind", F.col("main_id").alias("a"),
+            F.col("other_id").alias("b"), F.lit(-1).cast("long").alias("n"),
+        )
+    )
+
+
+def _q71_oracle_sql() -> str:
+    known = f"({_Q71_E} % 2 = 0 AND {_Q71_E} BETWEEN 302 AND 598)"
+    quals = f"""(CASE {_Q71_E} % 9
+        WHEN 0 THEN [struct_pack(t := 'pronunciation', c := 'o')]
+        WHEN 1 THEN [struct_pack(t := 'pronunciation', c := 'o, o')]
+        WHEN 2 THEN [struct_pack(t := 'comment', c := 'latgaliski')]
+        WHEN 3 THEN [struct_pack(t := 'pronunciation', c := 'x'),
+                     struct_pack(t := 'comment', c := 'agrāk arī')]
+        WHEN 4 THEN [struct_pack(t := 'comment', c := 'latgaliski arī'),
+                     struct_pack(t := 'comment', c := 'kļūdaini')]
+        WHEN 6 THEN [struct_pack(t := 'pronunciation', c := 'a'),
+                     struct_pack(t := 'pronunciation', c := 'b')]
+        WHEN 8 THEN [struct_pack(t := 'comment', c := 'īslaicīgi')]
+        ELSE CAST([] AS STRUCT(t VARCHAR, c VARCHAR)[])
+        END)"""
+    cat = f"""(CASE {_Q71_E} % 8
+        WHEN 0 THEN 'hamlets' WHEN 1 THEN 'villages' WHEN 2 THEN 'hamlets'
+        WHEN 3 THEN 'parishes' WHEN 4 THEN 'municipalities'
+        WHEN 5 THEN 'cities' WHEN 6 THEN 'cities' END)"""
+    return f"""
+    WITH g AS (
+        SELECT c_custkey AS cid, {_Q71_E} AS e,
+               count(*) OVER (PARTITION BY {_Q71_E}) AS cnt,
+               {known} AS known_grp
+        FROM customer
+    ), surv AS (
+        SELECT cid, e FROM g
+        WHERE cnt <> 2 OR (known_grp AND cid = e + 600)
+    ), pair_issues AS (
+        SELECT CASE WHEN known_grp THEN 'resolved_dup'
+                    ELSE 'unresolved_dup' END AS kind,
+               CASE WHEN known_grp THEN CAST(max(cid) AS STRING)
+                    ELSE CAST(min(cid) AS STRING) END AS a,
+               CASE WHEN known_grp THEN CAST(min(cid) AS STRING)
+                    ELSE CAST(max(cid) AS STRING) END AS b
+        FROM g WHERE cnt = 2 GROUP BY e, known_grp
+    ), admin AS (
+        SELECT {cat.replace("c_custkey", "cid")} AS cat,
+               (({_Q71_E.replace("c_custkey", "cid")}) % 6 = 0) AS active
+        FROM surv
+    ), qrows AS (
+        SELECT unnest({quals.replace("c_custkey", "cid")}) AS q FROM surv
+    )
+    SELECT 'admin_count' AS kind, cat AS a, '' AS b, CAST(count(*) AS BIGINT) AS n
+    FROM admin WHERE cat IS NOT NULL GROUP BY cat
+    UNION ALL
+    SELECT 'admin_active', cat, '', CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT)
+    FROM admin WHERE cat IS NOT NULL GROUP BY cat
+    UNION ALL
+    SELECT q.t, q.c, '', CAST(count(*) AS BIGINT) FROM qrows GROUP BY q.t, q.c
+    UNION ALL
+    SELECT 'total_entries', '', '', CAST(count(*) AS BIGINT) FROM surv
+    UNION ALL
+    SELECT kind, a, b, -1 FROM pair_issues
+    """
+
+
+_ORACLES["q71_vdb_pipeline"] = _q71_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6910,6 +7069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_cultural_monuments": q68_cultural_monuments,
         "q69_monument_refs": q69_monument_refs,
         "q70_lvc_roads": q70_lvc_roads,
+        "q71_vdb_pipeline": q71_vdb_pipeline,
     }
 
 
