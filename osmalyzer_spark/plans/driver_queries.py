@@ -6997,6 +6997,344 @@ def _q71_oracle_sql() -> str:
 _ORACLES["q71_vdb_pipeline"] = _q71_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q72/q73 — BottleDepositPointsAnalyzer (plans/deposit.py).
+#
+# Fixture: suppliers become deposit-network items three times (kiosk /
+# vending / manual scope grids on disjoint latitude bases, spacing
+# 2.2 km > the 650 m seek distance — the same sparse-grid argument as
+# q68 makes the DA fixed point window-expressible); orders become OSM
+# elements whose scope (ok%3), distance band, and 8 tag shapes drive
+# scope membership (including the reference's `brand ?? name` shadowing
+# quirk), the Strong-on-fuzzy-address strength, every validation rule,
+# and the case-insensitive shop stats. The oracle materializes the SAME
+# tag-column SQL snippets the Spark fixture uses and re-applies the
+# scope/rule predicates uniformly — the engine runs them as native tag
+# map expressions over the real correlator.
+# --------------------------------------------------------------------------
+
+_Q72_S = "(o_orderkey % 3)"
+_Q72_TK = "((o_orderkey % 95) + 1)"
+_Q72_BLK = "CAST(floor(o_orderkey / 300.0e0) AS INT)"
+_Q72_BAND = f"({_Q72_BLK} % 4)"
+_Q72_M = f"(({_Q72_TK} + {_Q72_BLK}) % 8)"
+# 75/150/+500: bands land at matched, matched_far, Strong-only
+# matched_far (400 m), dead (901 m > 650 m seek)
+_Q72_OFFSET = (
+    f"(CASE {_Q72_BAND} WHEN 0 THEN 0.0e0 WHEN 1 THEN 0.0011e0 "
+    f"WHEN 2 THEN 0.0036e0 ELSE 0.0081e0 END)"
+)
+_Q72_BASE = f"(CASE {_Q72_S} WHEN 0 THEN 50.00e0 WHEN 1 THEN 54.00e0 ELSE 58.00e0 END)"
+_Q72_ELAT = f"({_Q72_BASE} + ({_Q72_TK} % 97) * 0.02e0 + {_Q72_OFFSET})"
+_Q72_ELON = f"(24.00e0 + ({_Q72_TK} % 89) * 0.03e0)"
+
+_Q72_TAGS = {
+    "amenity": f"""(CASE {_Q72_S}
+        WHEN 0 THEN (CASE WHEN {_Q72_M} = 7 THEN 'waste_basket' ELSE 'recycling' END)
+        WHEN 1 THEN 'vending_machine' END)""",
+    "vending": f"""(CASE WHEN {_Q72_S} = 1
+        THEN (CASE WHEN {_Q72_M} = 7 THEN 'drinks' ELSE 'bottle_return' END) END)""",
+    "shop": f"(CASE WHEN {_Q72_S} = 2 AND {_Q72_M} <> 7 THEN 'supermarket' END)",
+    "brand": f"""(CASE {_Q72_S}
+        WHEN 0 THEN (CASE {_Q72_M} WHEN 0 THEN 'Depozīta punkts DP'
+                     WHEN 2 THEN 'Cits zīmols' WHEN 3 THEN 'DEPOZĪTA PUNKTS'
+                     WHEN 4 THEN 'Depozīta punkts' END)
+        WHEN 1 THEN (CASE WHEN {_Q72_M} <= 1 THEN 'Depozīta punkts' END) END)""",
+    "name": f"""(CASE {_Q72_S}
+        WHEN 0 THEN (CASE {_Q72_M} WHEN 1 THEN 'Deposit Point'
+                     WHEN 2 THEN 'Depozīta punkts' WHEN 4 THEN 'Depozīta punkts'
+                     WHEN 5 THEN 'Depozīta punkts' WHEN 6 THEN 'Cits' END)
+        WHEN 1 THEN (CASE WHEN {_Q72_M} % 2 = 0 THEN 'Depozīta punkts' END) END)""",
+    "brand:wikidata": f"""(CASE {_Q72_S}
+        WHEN 0 THEN (CASE WHEN {_Q72_M} = 5 THEN 'Q999' ELSE 'Q110979381' END)
+        WHEN 1 THEN (CASE WHEN {_Q72_M} <> 2 THEN 'Q110979381' END) END)""",
+    "building": f"""(CASE {_Q72_S}
+        WHEN 0 THEN (CASE WHEN {_Q72_M} IN (0, 1, 3) THEN 'kiosk'
+                     WHEN {_Q72_M} = 5 THEN 'roof' END)
+        WHEN 1 THEN (CASE WHEN {_Q72_M} = 5 THEN 'retail' END) END)""",
+    "recycling:cans": f"""(CASE {_Q72_S}
+        WHEN 0 THEN (CASE WHEN {_Q72_M} = 1 THEN 'no' ELSE 'yes' END)
+        WHEN 1 THEN (CASE WHEN {_Q72_M} = 3 THEN 'maybe' ELSE 'yes' END)
+        ELSE (CASE WHEN {_Q72_M} = 6 THEN 'no' ELSE 'yes' END) END)""",
+    "recycling:glass_bottles": f"""(CASE {_Q72_S}
+        WHEN 0 THEN (CASE WHEN {_Q72_M} = 3 THEN NULL ELSE 'yes' END)
+        WHEN 1 THEN (CASE {_Q72_M} WHEN 0 THEN 'yes' WHEN 1 THEN 'no'
+                     WHEN 2 THEN 'maybe' END)
+        ELSE 'yes' END)""",
+    "recycling:plastic_bottles": "'yes'",
+    "recycling_type": f"(CASE WHEN {_Q72_S} = 0 AND {_Q72_M} = 0 THEN 'centre' END)",
+    "fixme": f"""(CASE WHEN {_Q72_S} = 0 AND {_Q72_M} = 4 THEN 'verify'
+        WHEN {_Q72_S} = 1 AND {_Q72_M} = 6 THEN 'fix' END)""",
+    "addr:street": f"""(CASE WHEN {_Q72_M} % 2 = 0 THEN
+        (CASE {_Q72_TK} % 3 WHEN 0 THEN 'Ozolu iela'
+         WHEN 1 THEN 'Liepu iela' END) END)""",
+    "addr:housenumber": f"""(CASE WHEN {_Q72_M} % 2 = 0
+        THEN CAST({_Q72_TK} % 89 + 1 AS STRING)
+        ELSE CAST({_Q72_TK} % 89 + 2 AS STRING) END)""",
+}
+
+_Q72_IADDR = """(CASE s_suppkey % 3
+    WHEN 0 THEN 'Ozolu iela ' || CAST(s_suppkey % 89 + 1 AS STRING)
+    WHEN 1 THEN 'Liepu iela ' || CAST(s_suppkey % 89 + 1 AS STRING)
+    END)"""
+_Q72_ISHOP = """(CASE s_suppkey % 5
+    WHEN 0 THEN 'Maxima' WHEN 1 THEN 'MAXIMA' WHEN 2 THEN 'Rimi'
+    WHEN 3 THEN 'DUS Viada' END)"""
+_Q72_SCOPES = [("kiosk", "50.00e0"), ("vending", "54.00e0"),
+               ("manual", "58.00e0")]
+
+
+def _q72_elements(spark, sf_dir) -> DataFrame:
+    entries = ", ".join(f"'{k}', {v}" for k, v in _Q72_TAGS.items())
+    tags = f"map_filter(map({entries}), (k, v) -> v IS NOT NULL)"
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.expr(tags).alias("tags"),
+        F.expr(_Q72_ELAT).alias("lat"),
+        F.expr(_Q72_ELON).alias("lon"),
+    )
+
+
+def _q72_items(spark, sf_dir, base: str) -> DataFrame:
+    return _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("item_id"),
+        F.expr(f"({base} + (s_suppkey % 97) * 0.02e0)").alias("item_lat"),
+        F.expr("(24.00e0 + (s_suppkey % 89) * 0.03e0)").alias("item_lon"),
+        F.expr(_Q72_IADDR).alias("address"),
+        F.expr(_Q72_ISHOP).alias("shop_name"),
+    )
+
+
+def q72_deposit_points(spark, sf_dir):
+    """BottleDepositPointsAnalyzer correlations: three scope filters
+    (incl. the brand??name shadowing quirk), each through the real
+    correlator with the 75/150/+500(Strong) ladder and the
+    Strong-on-fuzzy-address strength callback."""
+    from osmalyzer_spark.plans.deposit import (
+        correlate_deposit,
+        kiosk_scope,
+        manual_scope,
+        vending_scope,
+    )
+
+    osm = _q72_elements(spark, sf_dir)
+    scopes = {
+        "kiosk": kiosk_scope(osm),
+        "vending": vending_scope(osm),
+        "manual": manual_scope(osm),
+    }
+    out = None
+    for (label, base) in _Q72_SCOPES:
+        corr = correlate_deposit(
+            spark, scopes[label], _q72_items(spark, sf_dir, base)
+        ).select(
+            F.lit(label).alias("scope"),
+            "kind",
+            F.coalesce("osm_id", F.lit(-1)).alias("osm_id"),
+            F.coalesce(F.col("item_id").cast("long"), F.lit(-1)).alias("item_id"),
+            F.round(F.coalesce("distance", F.lit(-1.0)), 3).alias("distance"),
+            F.coalesce("strength", F.lit(0)).alias("strength"),
+            F.coalesce("far", F.lit(False)).alias("far"),
+        )
+        out = corr if out is None else out.unionByName(corr)
+    return out
+
+
+def q73_deposit_checks(spark, sf_dir):
+    """BottleDepositPointsAnalyzer tagging validation (every scoped
+    element against the kiosk/vending rule sets) + the case-insensitive
+    shop-name stats per item list."""
+    from osmalyzer_spark.plans.deposit import (
+        KIOSK_RULES,
+        VENDING_RULES,
+        kiosk_scope,
+        shop_stats,
+        validate_elements,
+        vending_scope,
+    )
+
+    osm = _q72_elements(spark, sf_dir)
+    out = None
+    for label, scoped, rules in (
+        ("kiosk", kiosk_scope(osm), KIOSK_RULES),
+        ("vending", vending_scope(osm), VENDING_RULES),
+    ):
+        part = validate_elements(scoped, rules).select(
+            F.lit(label).alias("scope"),
+            F.col("rule").alias("kind"),
+            F.col("tag").alias("a"),
+            F.col("found").alias("b"),
+            F.col("elem_id").cast("long").alias("n"),
+        )
+        out = part if out is None else out.unionByName(part)
+    for (label, base) in _Q72_SCOPES:
+        stats = shop_stats(_q72_items(spark, sf_dir, base)).select(
+            F.lit(label).alias("scope"),
+            F.lit("shop_stat").alias("kind"),
+            F.col("shop").alias("a"),
+            F.lit("").alias("b"),
+            F.col("n").cast("long").alias("n"),
+        )
+        out = out.unionByName(stats)
+    return out
+
+
+def _q72_elems_sql() -> str:
+    cols = ",\n               ".join(
+        f"{sql} AS \"{name}\""
+        for name, sql in [
+            ("amenity", _Q72_TAGS["amenity"]),
+            ("vending", _Q72_TAGS["vending"]),
+            ("shop", _Q72_TAGS["shop"]),
+            ("brand", _Q72_TAGS["brand"]),
+            ("name", _Q72_TAGS["name"]),
+            ("wikidata", _Q72_TAGS["brand:wikidata"]),
+            ("building", _Q72_TAGS["building"]),
+            ("r_cans", _Q72_TAGS["recycling:cans"]),
+            ("r_glass", _Q72_TAGS["recycling:glass_bottles"]),
+            ("r_plastic", _Q72_TAGS["recycling:plastic_bottles"]),
+            ("r_type", _Q72_TAGS["recycling_type"]),
+            ("fixme", _Q72_TAGS["fixme"]),
+            ("street", _Q72_TAGS["addr:street"]),
+            ("housenum", _Q72_TAGS["addr:housenumber"]),
+        ]
+    )
+    return f"""
+    e0 AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS id, {_Q72_S} AS s,
+               {_Q72_ELAT} AS lat, {_Q72_ELON} AS lon,
+               {cols}
+        FROM orders
+    ), e AS (
+        SELECT *,
+               CASE
+                 WHEN s = 0 AND amenity = 'recycling'
+                      AND coalesce(lower(coalesce(brand, "name")), '') LIKE '%depozīta%'
+                      OR s = 0 AND amenity = 'recycling'
+                      AND coalesce(lower(coalesce(brand, "name")), '') LIKE '%deposit%'
+                   THEN 'kiosk'
+                 WHEN s = 1 AND amenity = 'vending_machine'
+                      AND vending = 'bottle_return' THEN 'vending'
+                 WHEN s = 2 AND shop IS NOT NULL AND r_cans = 'yes'
+                      AND r_plastic = 'yes' AND r_glass = 'yes' THEN 'manual'
+               END AS scope
+        FROM e0
+    ), items AS (
+        SELECT sc.scope, CAST(s_suppkey AS BIGINT) AS item_id,
+               (sc.base + (s_suppkey % 97) * 0.02e0) AS item_lat,
+               (24.00e0 + (s_suppkey % 89) * 0.03e0) AS item_lon,
+               {_Q72_IADDR} AS address,
+               {_Q72_ISHOP} AS shop_name
+        FROM supplier
+        CROSS JOIN (VALUES ('kiosk', 50.00e0), ('vending', 54.00e0),
+                           ('manual', 58.00e0)) AS sc(scope, base)
+    )"""
+
+
+def _q72_oracle_sql() -> str:
+    hav = haversine_sql("i.item_lat", "i.item_lon", "e.lat", "e.lon")
+    street_ok = (
+        "(CASE WHEN contains(lower(trim(i.address)), 'iela') THEN "
+        "coalesce(contains(lower(trim(i.address)), 'iela'), FALSE) "
+        "AND e.street IS NOT NULL AND contains(lower(e.street), 'iela') "
+        "ELSE coalesce(contains(lower(trim(i.address)), "
+        "trim(replace(lower(e.street), 'iela', ''))), FALSE) END)"
+    )
+    strong = (
+        f"(i.address IS NOT NULL AND e.street IS NOT NULL "
+        f"AND e.housenum IS NOT NULL AND {street_ok} "
+        f"AND e.housenum = "
+        f"regexp_extract(lower(trim(i.address)), '\\d+[a-z]?'))"
+    )
+    return f"""
+    WITH {_q72_elems_sql()}, cand AS (
+        SELECT * FROM (
+            SELECT e.scope, i.item_id, e.id AS elem_id, {hav} AS dist_m,
+                   CASE WHEN {strong} THEN 3 ELSE 2 END AS strength
+            FROM items i JOIN e ON e.scope = i.scope
+        ) p
+        WHERE dist_m <= (CASE WHEN strength >= 3
+                              THEN 650.0e0 ELSE 150.0e0 END)
+    ), matched AS (
+        SELECT scope, item_id, elem_id, strength, dist_m FROM (
+            SELECT cand.*, row_number() OVER (
+                PARTITION BY scope, item_id ORDER BY dist_m, elem_id) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT scope,
+           CASE WHEN dist_m > 75.0e0 THEN 'matched_far' ELSE 'matched' END
+             AS kind,
+           elem_id AS osm_id, item_id, round(dist_m, 3) AS distance,
+           strength, dist_m > 75.0e0 AS far
+    FROM matched
+    UNION ALL
+    SELECT i.scope, 'unmatched_item', CAST(-1 AS BIGINT), i.item_id,
+           -1.0e0, 0, FALSE
+    FROM items i
+    WHERE NOT EXISTS (SELECT 1 FROM matched m
+                      WHERE m.scope = i.scope AND m.item_id = i.item_id)
+    UNION ALL
+    SELECT e.scope, 'unmatched_osm', e.id, CAST(-1 AS BIGINT), -1.0e0, 0, FALSE
+    FROM e
+    WHERE e.scope IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM matched m
+                      WHERE m.scope = e.scope AND m.elem_id = e.id)
+    """
+
+
+def _q73_oracle_sql() -> str:
+    def rule_rows(scope: str, rules: list[tuple[str, str, str]]) -> str:
+        parts = []
+        for kind, tag, col, bad in rules:
+            parts.append(
+                f"SELECT '{scope}' AS scope, '{kind}' AS kind, '{tag}' AS a, "
+                f"coalesce({col}, '') AS b, id AS n "
+                f"FROM e WHERE scope = '{scope}' AND ({bad})"
+            )
+        return "\n    UNION ALL\n    ".join(parts)
+
+    has = lambda c, v: f"({c} IS NULL OR {c} <> '{v}')"  # noqa: E731
+    kiosk = rule_rows("kiosk", [
+        ("has_value", "name", '"name"', has('"name"', "Depozīta punkts")),
+        ("has_value", "brand", "brand", has("brand", "Depozīta punkts")),
+        ("has_value", "brand:wikidata", "wikidata", has("wikidata", "Q110979381")),
+        ("has_value", "building", "building", has("building", "kiosk")),
+        ("has_value", "recycling:cans", "r_cans", has("r_cans", "yes")),
+        ("has_value", "recycling:glass_bottles", "r_glass", has("r_glass", "yes")),
+        ("has_value", "recycling:plastic_bottles", "r_plastic", has("r_plastic", "yes")),
+        ("no_tag", "recycling_type", "r_type", "r_type IS NOT NULL"),
+        ("fixme", "fixme", "fixme", "fixme IS NOT NULL"),
+    ])
+    vending = rule_rows("vending", [
+        ("has_value", "name", '"name"', has('"name"', "Depozīta punkts")),
+        ("has_value", "brand", "brand", has("brand", "Depozīta punkts")),
+        ("has_value", "brand:wikidata", "wikidata", has("wikidata", "Q110979381")),
+        ("has_value", "recycling:cans", "r_cans", has("r_cans", "yes")),
+        ("any_value", "recycling:glass_bottles", "r_glass",
+         "(r_glass IS NULL OR r_glass NOT IN ('yes', 'no'))"),
+        ("has_value", "recycling:plastic_bottles", "r_plastic", has("r_plastic", "yes")),
+        ("no_tag", "building", "building", "building IS NOT NULL"),
+        ("fixme", "fixme", "fixme", "fixme IS NOT NULL"),
+    ])
+    return f"""
+    WITH {_q72_elems_sql()}
+    {kiosk}
+    UNION ALL
+    {vending}
+    UNION ALL
+    SELECT scope, 'shop_stat', lower(shop_name), '', CAST(count(*) AS BIGINT)
+    FROM items WHERE shop_name IS NOT NULL GROUP BY scope, lower(shop_name)
+    UNION ALL
+    SELECT scope, 'shop_stat', '', '', CAST(count(*) AS BIGINT)
+    FROM items WHERE shop_name IS NULL GROUP BY scope
+    """
+
+
+_ORACLES["q72_deposit_points"] = _q72_oracle_sql()
+_ORACLES["q73_deposit_checks"] = _q73_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7070,6 +7408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_monument_refs": q69_monument_refs,
         "q70_lvc_roads": q70_lvc_roads,
         "q71_vdb_pipeline": q71_vdb_pipeline,
+        "q72_deposit_points": q72_deposit_points,
+        "q73_deposit_checks": q73_deposit_checks,
     }
 
 
