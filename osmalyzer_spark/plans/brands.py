@@ -25,8 +25,12 @@ Semantics preserved from the reference:
 - generic = any variant's clean equals any cleaned
   `generic poi names.tsv` entry (:109-112).
 
-Spark shape: the NSI loop is config-driven (each entry one filtered
-scan, unioned with its index); title cleaning is a native
+Spark shape: the NSI config is exploded into a (nsi_idx, tag, value)
+mapping and matched with ONE scan — each element emits its candidate
+(tag, value) pairs for the config's distinct tags and broadcast-joins
+the mapping (the reference's `NSI tags.tsv` has hundreds of entries,
+so the naive one-filtered-scan-per-entry shape would re-read the
+element table hundreds of times at scale); title cleaning is a native
 trim/lower/translate; grouping is two hash aggregations (variant,
 then canonical group). No UDFs.
 
@@ -75,20 +79,40 @@ def common_brands(
     """elements: (id, tags). nsi_entries / known_brands /
     generic_names: the three public config files as lists."""
     title = F.coalesce(*[get_value("tags", t) for t in TITLE_TAGS])
-    parts = []
-    for idx, (tag, values) in enumerate(nsi_entries):
-        parts.append(
-            elements.filter(
-                title.isNotNull() & get_value("tags", tag).isin(values)
-            ).select(
-                F.lit(idx).alias("nsi_idx"),
-                title.alias("title"),
-                get_value("tags", tag).alias("nsi_value"),
-            )
+    spark = elements.sparkSession
+    mapping = F.broadcast(
+        spark.createDataFrame(
+            [
+                (idx, tag, value)
+                for idx, (tag, values) in enumerate(nsi_entries)
+                for value in values
+            ],
+            "nsi_idx int, __tag string, nsi_value string",
         )
-    matched = parts[0]
-    for p in parts[1:]:
-        matched = matched.unionByName(p)
+    )
+    distinct_tags = sorted({tag for tag, _ in nsi_entries})
+    cand = (
+        elements.filter(title.isNotNull())
+        .select(
+            title.alias("title"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("__tag"),
+                            get_value("tags", t).alias("nsi_value"),
+                        )
+                        for t in distinct_tags
+                    ]
+                )
+            ).alias("e"),
+        )
+        .select("title", "e.__tag", "e.nsi_value")
+        .filter(F.col("nsi_value").isNotNull())
+    )
+    matched = cand.join(mapping, ["__tag", "nsi_value"]).select(
+        "nsi_idx", "title", "nsi_value"
+    )
 
     clean = clean_name(F.col("title"))
     matched = matched.withColumn(
