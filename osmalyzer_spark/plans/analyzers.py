@@ -427,23 +427,29 @@ def validator_pass(
     """Validator (Osmalyzer/Validator/Validator.cs:17-140) as a projection:
     for each matched pair, check expected tag values; emit issue rows
     (rule, elem_id, item_id, found, expected) for mismatches."""
-    issues = []
-    for key, want in expected.items():
-        col = get_value("tags", key)
-        issues.append(
-            matched_with_tags.filter(F.coalesce(col != want, F.lit(True)))
-            .select(
-                F.lit(f"tag:{key}").alias("rule"),
-                "elem_id",
-                "item_id",
-                col.alias("found"),
-                F.lit(want).alias("expected"),
+    # one pass over the matched pairs: each row emits its failing rules
+    # as an exploded array instead of one filtered scan per rule
+    checks = F.array(
+        *[
+            F.when(
+                F.coalesce(get_value("tags", key) != want, F.lit(True)),
+                F.struct(
+                    F.lit(f"tag:{key}").alias("rule"),
+                    get_value("tags", key).alias("found"),
+                    F.lit(want).alias("expected"),
+                ),
             )
+            for key, want in expected.items()
+        ]
+    )
+    return (
+        matched_with_tags.select(
+            "elem_id",
+            "item_id",
+            F.explode(F.filter(checks, lambda s: s.isNotNull())).alias("i"),
         )
-    out = issues[0]
-    for df in issues[1:]:
-        out = out.unionByName(df)
-    return out
+        .select("i.rule", "elem_id", "item_id", "i.found", "i.expected")
+    )
 
 
 def spawner_pass(unmatched_items: DataFrame, base_tags: dict[str, str]) -> DataFrame:

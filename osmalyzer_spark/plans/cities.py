@@ -144,19 +144,27 @@ def validate_tags(
     ValidateElementValueMatchesDataItemValue): for each (rule, found
     column, expected column), emit an issue row when the element value
     differs (null-safe) from the item-derived expected value."""
-    issues = []
-    for rule, found_col, expected_col in rules:
-        issues.append(
-            matched.filter(~F.col(found_col).eqNullSafe(F.col(expected_col)))
-            .select(
-                "item_id",
-                "elem_id",
-                F.lit(rule).alias("rule"),
-                F.col(found_col).alias("found"),
-                F.col(expected_col).alias("expected"),
+    # one pass: each row emits its failing rules as an exploded array
+    # (a per-rule filtered scan would re-execute the upstream plan once
+    # per rule)
+    checks = F.array(
+        *[
+            F.when(
+                ~F.col(found_col).eqNullSafe(F.col(expected_col)),
+                F.struct(
+                    F.lit(rule).alias("rule"),
+                    F.col(found_col).alias("found"),
+                    F.col(expected_col).alias("expected"),
+                ),
             )
+            for rule, found_col, expected_col in rules
+        ]
+    )
+    return (
+        matched.select(
+            "item_id",
+            "elem_id",
+            F.explode(F.filter(checks, lambda s: s.isNotNull())).alias("i"),
         )
-    out = issues[0]
-    for df in issues[1:]:
-        out = out.unionByName(df)
-    return out
+        .select("item_id", "elem_id", "i.rule", "i.found", "i.expected")
+    )

@@ -145,7 +145,7 @@ def validate_elements(scoped: DataFrame, rules) -> DataFrame:
     """Validator.Validate with both flags true: every scoped element is
     checked against every rule; one issue row per failing rule
     (rule kind, tag, element id, found value)."""
-    out = None
+    structs = []
     for kind, tag, expected in rules:
         v = get_value("tags", tag)
         if kind == "has_value":
@@ -158,14 +158,25 @@ def validate_elements(scoped: DataFrame, rules) -> DataFrame:
             bad = v.isNotNull()
         else:  # pragma: no cover
             raise ValueError(kind)
-        part = scoped.filter(bad).select(
-            F.lit(kind).alias("rule"),
-            F.lit(tag).alias("tag"),
-            F.col("id").alias("elem_id"),
-            F.coalesce(v, F.lit("")).alias("found"),
+        structs.append(
+            F.when(
+                bad,
+                F.struct(
+                    F.lit(kind).alias("rule"),
+                    F.lit(tag).alias("tag"),
+                    F.coalesce(v, F.lit("")).alias("found"),
+                ),
+            )
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+    # one pass: each element emits its failing rules as an exploded
+    # array instead of one filtered scan per rule
+    return (
+        scoped.select(
+            F.col("id").alias("elem_id"),
+            F.explode(F.filter(F.array(*structs), lambda s: s.isNotNull())).alias("i"),
+        )
+        .select("i.rule", "i.tag", "elem_id", "i.found")
+    )
 
 
 def shop_stats(items: DataFrame) -> DataFrame:
