@@ -66,3 +66,23 @@ def test_common_brands(spark):
     assert rep == {"Maksima ": 4, "MAXIMA": 2}
     # generic group emits no reportable rows
     assert ("reportable", 0, "veikals") not in by
+
+
+def test_element_in_multiple_nsi_entries(spark):
+    # an element carrying BOTH a listed shop and a listed amenity repeats
+    # in each NSI group (CommonBrandsAnalyzer.cs:95-101) — the one-scan
+    # mapping join must instance it once per matching entry
+    rows = [
+        (i, {"brand": "Circle K", "shop": "convenience", "amenity": "fuel"})
+        for i in range(1, 13)
+    ]
+    out = common_brands(
+        _els(spark, rows),
+        nsi_entries=[("shop", ["convenience"]), ("amenity", ["fuel"])],
+        known_brands=[],
+        generic_names=[],
+    ).collect()
+    groups = {
+        (r.nsi_idx, r.canon): r.n1 for r in out if r.kind == "group"
+    }
+    assert groups == {(0, "circle k"): 12, (1, "circle k"): 12}

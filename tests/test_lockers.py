@@ -119,3 +119,27 @@ class TestLockerCorrelation:
         res = correlate_lockers(spark, lockers, items, {"DPD": ["dpd"]})
         m = [r for r in res.collect() if r.kind == "matched"]
         assert len(m) == 1 and m[0].strength == 3  # fuzzy address -> Strong
+
+
+class TestMultiBrandInstancing:
+    def test_locker_matching_two_operators_correlates_in_both(self, spark):
+        # one machine carries both brands: it must be instanced into BOTH
+        # operators' rotated bands and can match an item in each
+        items = spark.createDataFrame(
+            [
+                (1, 56.0, 24.0, "Omniva", None),
+                (2, 56.0, 24.0, "DPD", None),
+            ],
+            "item_id long, item_lat double, item_lon double, op string, "
+            "address string",
+        )
+        lockers = _lockers(
+            spark, [(10, 56.0, 24.0, "Omniva / DPD paku skapis", None, None,
+                     None, None)]
+        )
+        res = correlate_lockers(
+            spark, lockers, items, {"Omniva": ["omniva"], "DPD": ["dpd"]}
+        )
+        matched = {(r.op, r.osm_id, r.item_id)
+                   for r in res.collect() if r.kind == "matched"}
+        assert matched == {("Omniva", 10, 1), ("DPD", 10, 2)}
