@@ -164,6 +164,11 @@ def lvc_road_report(
         ),
         polygon,
     )
+    # the scoped ways feed five consumers (recognized groups, two pair
+    # extractions, the all-invalid tail twice); cache the scoped subset
+    # (a small fraction of the planet table after the tag filters) so
+    # the base table is scanned once
+    reffed = reffed.cache()
     recognized = reffed.filter(
         split_values_check("tags", "ref", is_valid_lvc_ref)
     )

@@ -174,6 +174,9 @@ def vdb_stats(typed: DataFrame) -> DataFrame:
     total_entries, per-admin-category totals and active counts, and the
     pronunciation/comment qualifier histograms through the real
     alt-names parser."""
+    # three consumers (admin counts, qualifier histogram, total); cache
+    # so the upstream dedup/typing lineage executes once
+    typed = typed.cache()
     cat = _map_expr(F.col("object_type"), ADMIN_CATEGORY)
     admin = (
         typed.withColumn("cat", cat)
@@ -184,13 +187,23 @@ def vdb_stats(typed: DataFrame) -> DataFrame:
             F.sum(F.col("is_active").cast("long")).alias("active"),
         )
     )
+    # both stat kinds from ONE aggregation pass (a per-kind select of the
+    # grouped frame would re-execute the aggregate per consumer)
     admin_rows = admin.select(
-        F.lit("admin_count").alias("kind"), F.col("cat").alias("a"),
-        F.col("total").alias("n"),
-    ).unionByName(
-        admin.select(F.lit("admin_active").alias("kind"),
-                     F.col("cat").alias("a"), F.col("active").alias("n"))
-    )
+        F.col("cat").alias("a"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("admin_count").alias("kind"),
+                    F.col("total").alias("n"),
+                ),
+                F.struct(
+                    F.lit("admin_active").alias("kind"),
+                    F.col("active").alias("n"),
+                ),
+            )
+        ).alias("i"),
+    ).select("i.kind", "a", "i.n")
     quals = (
         typed.select(
             F.explode(parse_alt_names_col(F.col("all_names"))).alias("an")
