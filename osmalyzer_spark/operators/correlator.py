@@ -1011,10 +1011,18 @@ def checkpointed_correlate(
         # never split across groups (hash of the whole id), so outputs are
         # identical; per-task memory is O(small rows / groups), uniform by
         # hash, and the group count scales with cluster parallelism.
+        # data-proportional group count: each group is ONE batch_solve
+        # call (its own Arrow round-trip), so a fixed high count makes
+        # small inputs pay ~1000 near-empty calls; target ~25k candidate
+        # pairs per group, floored at 4x parallelism for wave balance
+        # and capped so a group never exceeds the small-component bound
         n_groups = (
             solver_groups
             if solver_groups is not None
-            else max(1024, spark.sparkContext.defaultParallelism * 8)
+            else max(
+                spark.sparkContext.defaultParallelism * 4,
+                min(65536, -(-n_pairs_all // 25_000)),
+            )
         )
 
         def batch_solve(pdf):
