@@ -7335,6 +7335,217 @@ _ORACLES["q72_deposit_points"] = _q72_oracle_sql()
 _ORACLES["q73_deposit_checks"] = _q73_oracle_sql()
 
 
+# --------------------------------------------------------------------------
+# q74 — CulturalCenterAnalyzer (plans/poi_configs.py cultural_centers).
+#
+# Same sparse-grid window-DA construction as q68/q72 (inter-item spacing
+# 4.45 km > the 1200 m seek). The distinctive gated semantics is the
+# NamesMatch cascade: ordinal-ignore-case equality, equality after
+# NormalizeName (strip a trailing " kultūras nams/centrs" and a leading
+# "... novada "), and the >5-char bidirectional containment of the
+# normalized forms — run as Java (?iu) regexes in Spark and mirrored by
+# DuckDB's RE2 with the 'i' option (a differential test across regex
+# engines), plus the official_name fallback, the fuzzy-address Good
+# band, the Regular default (every in-range pair lives), and the
+# keyword lone allowance.
+# --------------------------------------------------------------------------
+
+_Q74_TK = "((o_orderkey % 95) + 1)"
+_Q74_BLK = "CAST(floor(o_orderkey / 300.0e0) AS INT)"
+_Q74_BAND = f"({_Q74_BLK} % 4)"
+_Q74_M = f"(({_Q74_TK} + {_Q74_BLK}) % 8)"
+_Q74_ILAT = lambda k: f"(56.00e0 + (({k}) % 97) * 0.04e0)"  # noqa: E731
+_Q74_ILON = lambda k: f"(24.00e0 + (({k}) % 89) * 0.03e0)"  # noqa: E731
+# 150/500/+700: matched, matched_far, Strong-only matched_far (~700 m),
+# dead (~1313 m > 1200 m seek)
+_Q74_OFFSET = (
+    f"(CASE {_Q74_BAND} WHEN 0 THEN 0.0e0 WHEN 1 THEN 0.0016e0 "
+    f"WHEN 2 THEN 0.0063e0 ELSE 0.0118e0 END)"
+)
+_Q74_STEM = lambda k: f"('Nama vieta ' || CAST({k} AS STRING))"  # noqa: E731
+_Q74_ITEM_NAME = f"""(CASE s_suppkey % 3
+    WHEN 0 THEN {_Q74_STEM("s_suppkey")}
+    WHEN 1 THEN {_Q74_STEM("s_suppkey")} || ' kultūras nams'
+    ELSE 'Kāda novada ' || {_Q74_STEM("s_suppkey")} END)"""
+_Q74_ITEM_ADDR = """(CASE WHEN s_suppkey % 2 = 1
+    THEN 'Ozolu iela ' || CAST(s_suppkey % 89 + 1 AS STRING) ELSE '' END)"""
+# scope carving so every cascade outcome WINS somewhere: monuments with
+# tk%4=0 lose their band-0/1 candidates entirely (closest survivor is
+# the 700 m band: Strong m2 -> matched_far, Regular m6 -> dropped ->
+# lone), and tk%8=5 keeps only the address-shape m5 at band 0, whose
+# Good strength wins at 0 m (the item is odd -> has an address)
+_Q74_SCOPED_OUT = (
+    f"(({_Q74_TK} % 4 = 0 AND {_Q74_M} IN (0, 1, 4, 5)) "
+    f"OR ({_Q74_TK} % 8 = 5 AND {_Q74_M} = 1))"
+)
+_Q74_AMENITY = (
+    f"(CASE WHEN {_Q74_SCOPED_OUT} THEN 'community_hall' "
+    f"ELSE 'community_centre' END)"
+)
+# m0 plain stem name; m1 trailing-suffix form; m2 leading-novada form;
+# m3 official_name carries the stem behind a non-matching name;
+# m4 uppercase stem (ordinal-ignore-case); m5 address-only (Good when
+# the item has an address); m6 keyword name (Regular + lone);
+# m7 bare (Regular)
+_Q74_NAME_TAG = f"""(CASE {_Q74_M}
+    WHEN 0 THEN {_Q74_STEM(_Q74_TK)}
+    WHEN 1 THEN {_Q74_STEM(_Q74_TK)} || ' kultūras centrs'
+    WHEN 2 THEN 'Cita novada ' || {_Q74_STEM(_Q74_TK)}
+    WHEN 3 THEN 'Pašvaldības ēka'
+    WHEN 4 THEN 'NAMA VIETA ' || CAST({_Q74_TK} AS STRING)
+    WHEN 6 THEN 'Mazais saieta nams' END)"""
+_Q74_OFFICIAL_TAG = f"(CASE WHEN {_Q74_M} = 3 THEN {_Q74_STEM(_Q74_TK)} END)"
+_Q74_STREET_TAG = f"(CASE WHEN {_Q74_M} = 5 THEN 'Ozolu iela' END)"
+_Q74_HOUSENUM_TAG = (
+    f"(CASE WHEN {_Q74_M} = 5 THEN CAST({_Q74_TK} % 89 + 1 AS STRING) END)"
+)
+
+
+def _q74_osm(spark, sf_dir) -> DataFrame:
+    tags = (
+        f"map_filter(map('amenity', {_Q74_AMENITY}, "
+        f"'name', {_Q74_NAME_TAG}, 'official_name', {_Q74_OFFICIAL_TAG}, "
+        f"'addr:street', {_Q74_STREET_TAG}, "
+        f"'addr:housenumber', {_Q74_HOUSENUM_TAG}), "
+        f"(k, v) -> v IS NOT NULL)"
+    )
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.lit("node").alias("type"),
+        F.expr(tags).alias("tags"),
+        F.expr(f"({_Q74_ILAT(_Q74_TK)} + {_Q74_OFFSET})").alias("lat"),
+        F.expr(_Q74_ILON(_Q74_TK)).alias("lon"),
+    )
+
+
+def _q74_items(spark, sf_dir) -> DataFrame:
+    return _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("item_id"),
+        F.expr(_Q74_ILAT("s_suppkey")).alias("item_lat"),
+        F.expr(_Q74_ILON("s_suppkey")).alias("item_lon"),
+        F.expr(_Q74_ITEM_NAME).alias("item_name"),
+        F.expr(_Q74_ITEM_ADDR).alias("address"),
+    )
+
+
+def q74_cultural_centers(spark, sf_dir):
+    """CulturalCenterAnalyzer: the NamesMatch normalization cascade
+    (Java (?iu) regexes vs the oracle's RE2), the official_name
+    fallback, the fuzzy-address Good band, the Regular default, and the
+    keyword lone allowance, through the real 150/500/+700 correlator."""
+    from osmalyzer_spark.plans.poi_configs import cultural_centers
+
+    corr = cultural_centers(
+        spark, _q74_osm(spark, sf_dir), _q74_items(spark, sf_dir)
+    )
+    return corr.select(
+        "kind",
+        F.coalesce("osm_id", F.lit(-1)).alias("osm_id"),
+        F.coalesce(F.col("item_id").cast("long"), F.lit(-1)).alias("item_id"),
+        F.round(F.coalesce("distance", F.lit(-1.0)), 3).alias("distance"),
+        F.coalesce("strength", F.lit(0)).alias("strength"),
+        F.coalesce("far", F.lit(False)).alias("far"),
+    )
+
+
+def _q74_oracle_sql() -> str:
+    def norm(x: str) -> str:
+        return (
+            f"regexp_replace(regexp_replace(trim({x}), "
+            f"'\\s+kultūras (nams|centrs)$', '', 'i'), "
+            f"'^.+?\\s+novada\\s+', '', 'i')"
+        )
+
+    def names_match(a: str, b: str) -> str:
+        na, nb = norm(a), norm(b)
+        return (
+            f"(lower({a}) = lower({b}) OR lower({na}) = lower({nb}) "
+            f"OR (length({na}) > 5 AND length({nb}) > 5 "
+            f"AND (contains(lower({nb}), lower({na})) "
+            f"OR contains(lower({na}), lower({nb})))))"
+        )
+
+    hav = haversine_sql("i.item_lat", "i.item_lon", "e.lat", "e.lon")
+    street_ok = (
+        "(CASE WHEN contains(lower(trim(i.address)), 'iela') THEN "
+        "e.street IS NOT NULL AND contains(lower(e.street), 'iela') "
+        "ELSE coalesce(contains(lower(trim(i.address)), "
+        "trim(replace(lower(e.street), 'iela', ''))), FALSE) END)"
+    )
+    addr_good = (
+        f"(i.address IS NOT NULL AND i.address <> '' "
+        f"AND e.street IS NOT NULL AND e.housenum IS NOT NULL "
+        f"AND {street_ok} AND e.housenum = "
+        f"regexp_extract(lower(trim(i.address)), '\\d+[a-z]?'))"
+    )
+    strength = f"""CASE
+        WHEN (e."name" IS NOT NULL
+              AND {names_match('i.item_name', 'e."name"')})
+          OR (e.official_name IS NOT NULL
+              AND {names_match('i.item_name', 'e.official_name')})
+          THEN 3
+        WHEN {addr_good} THEN 2
+        ELSE 1
+      END"""
+    lone = (
+        '(e."name" IS NOT NULL AND ('
+        "coalesce(contains(lower(e.\"name\"), 'kultūras nams'), FALSE) OR "
+        "coalesce(contains(lower(e.\"name\"), 'kultūras centrs'), FALSE) OR "
+        "coalesce(contains(lower(e.\"name\"), 'tautas nams'), FALSE) OR "
+        "coalesce(contains(lower(e.\"name\"), 'saieta nams'), FALSE) OR "
+        "coalesce(contains(lower(e.\"name\"), 'saietu nams'), FALSE)))"
+    )
+    return f"""
+    WITH i AS (
+        SELECT CAST(s_suppkey AS BIGINT) AS item_id,
+               {_Q74_ILAT("s_suppkey")} AS item_lat,
+               {_Q74_ILON("s_suppkey")} AS item_lon,
+               {_Q74_ITEM_NAME} AS item_name,
+               {_Q74_ITEM_ADDR} AS address
+        FROM supplier
+    ), e AS (
+        SELECT CAST(o_orderkey AS BIGINT) AS id,
+               ({_Q74_ILAT(_Q74_TK)} + {_Q74_OFFSET}) AS lat,
+               {_Q74_ILON(_Q74_TK)} AS lon,
+               {_Q74_NAME_TAG} AS "name",
+               {_Q74_OFFICIAL_TAG} AS official_name,
+               {_Q74_STREET_TAG} AS street,
+               {_Q74_HOUSENUM_TAG} AS housenum
+        FROM orders
+        WHERE NOT {_Q74_SCOPED_OUT}
+    ), cand AS (
+        SELECT * FROM (
+            SELECT i.item_id, e.id AS elem_id, {hav} AS dist_m,
+                   ({strength}) AS strength, {lone} AS is_lone
+            FROM i CROSS JOIN e
+        ) p
+        WHERE dist_m <= (CASE WHEN strength >= 3
+                              THEN 1200.0e0 ELSE 500.0e0 END)
+    ), matched AS (
+        SELECT item_id, elem_id, strength, dist_m FROM (
+            SELECT cand.*, row_number() OVER (
+                PARTITION BY item_id ORDER BY dist_m, elem_id) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    )
+    SELECT CASE WHEN dist_m > 150.0e0 THEN 'matched_far' ELSE 'matched' END
+             AS kind,
+           elem_id AS osm_id, item_id, round(dist_m, 3) AS distance,
+           strength, dist_m > 150.0e0 AS far
+    FROM matched
+    UNION ALL
+    SELECT 'unmatched_item', CAST(-1 AS BIGINT), item_id, -1.0e0, 0, FALSE
+    FROM i WHERE item_id NOT IN (SELECT item_id FROM matched)
+    UNION ALL
+    SELECT CASE WHEN {lone} THEN 'lone_osm' ELSE 'unmatched_osm' END,
+           e.id, CAST(-1 AS BIGINT), -1.0e0, 0, FALSE
+    FROM e WHERE e.id NOT IN (SELECT elem_id FROM matched)
+    """
+
+
+_ORACLES["q74_cultural_centers"] = _q74_oracle_sql()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -7410,6 +7621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_vdb_pipeline": q71_vdb_pipeline,
         "q72_deposit_points": q72_deposit_points,
         "q73_deposit_checks": q73_deposit_checks,
+        "q74_cultural_centers": q74_cultural_centers,
     }
 
 

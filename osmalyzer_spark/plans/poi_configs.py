@@ -1,0 +1,321 @@
+"""Thin POI-analyzer configs: the remaining reference analyzers that are
+pure parameterizations of the correlator + validator machinery, each
+with its exact scope filter, distance ladder, strength callback, and
+lone allowance.
+
+- riga_drinking_water (RigaDrinkingWaterAnalyzer.cs:24-90): drinking
+  water nodes, indoor!=yes, DEFAULT 15/75 ladder (the reference passes
+  no distance parameters), lone allowance seasonal=yes (the city list
+  is deleted in winter), and the operator/man_made/drinking_water/
+  seasonal/fixme validator set.
+- glika_oaks (GlikaOaksAnalyzer.cs:23-68): natural=tree nodes, far 300,
+  strength Strong iff the name lowercase-contains "glika ozols" (else
+  UNMATCHED — the pair is dropped), the same predicate as the lone
+  allowance.
+- city_meadows (CityMeadowsAnalyzer.cs:23-66): natural=grassland OR
+  landuse=grass inside the city polygon, 50/100, strength Strong on
+  exact name or alt_name equality, Good when the description contains
+  "pilsētas pļava" case-insensitively, else UNMATCHED.
+- lvm_picnic_sites (LVMPicnicSiteAnalyzer.cs:27-55): tourism=
+  picnic_site, 100/300, no callback (every in-range pair Regular).
+- rs_ticket_vending (RigasSatiksmeTicketVendingAnalyzer.cs:30-82):
+  amenity=vending_machine + vending=public_transport_tickets,
+  75/150/+500(Strong), Strong on a FuzzyAddressMatcher hit else Good,
+  plus the operator/operator:wikidata/fixme validators.
+- cultural_centers (CulturalCenterAnalyzer.cs:43-125,251-283):
+  amenity=community_centre, 150/500/+700(Strong), strength Strong when
+  NamesMatch hits name or official_name (ordinal-ignore-case equality,
+  or equality after NormalizeName strips a trailing "kultūras
+  nams/centrs" and a leading "... novada ", or >5-char bidirectional
+  containment of the normalized forms), Good on a fuzzy-address hit,
+  else Regular; lone allowance: the name contains any cultural-center
+  keyword group.
+
+All scope filters are native tag-map expressions; every config returns
+the six-kind correlations frame from the audited deferred-acceptance
+operator. The ValidateElementValueMatchesDataItemValue('name') pass the
+cultural-center reference also runs is available via
+plans/cities.validate_tags on the matched pairs (the caller joins tags
+back to the correlation ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmalyzer_spark.functions.address import fuzzy_address_match
+from osmalyzer_spark.functions.tags import (
+    doesnt_have_value,
+    get_value,
+    is_node,
+)
+from osmalyzer_spark.geo.polygon import Polygon, contains_expr
+from osmalyzer_spark.operators.correlator import (
+    GOOD,
+    REGULAR,
+    STRONG,
+    UNMATCHED,
+    CorrelatorParams,
+    correlate,
+)
+from osmalyzer_spark.plans.deposit import validate_elements
+
+CC_KEYWORDS = [
+    ["kultūras nams"],
+    ["kultūras centrs"],
+    ["tautas nams"],
+    ["saieta nams", "saietu nams"],
+]
+
+DRINKING_WATER_RULES = [
+    ("has_value", "operator", "Rīgas ūdens"),
+    ("has_value", "man_made", "water_tap"),
+    ("has_value", "drinking_water", "yes"),
+    ("any_value", "seasonal", ("yes", "no")),
+    ("fixme", "fixme", None),
+]
+TICKET_VENDING_RULES = [
+    ("has_value", "operator", "Rīgas satiksme"),
+    ("has_value", "operator:wikidata", "Q2280274"),
+    ("fixme", "fixme", None),
+]
+
+
+def _slim(scoped: DataFrame, tag_cols: dict[str, str]) -> DataFrame:
+    cols = [
+        F.col("id").alias("elem_id"),
+        F.col("lat").alias("elem_lat"),
+        F.col("lon").alias("elem_lon"),
+    ] + [get_value("tags", tag).alias(alias) for alias, tag in tag_cols.items()]
+    return scoped.select(*cols)
+
+
+def _poly(df: DataFrame, polygon: Polygon | None) -> DataFrame:
+    if polygon is not None:
+        df = df.filter(contains_expr(polygon, "lat", "lon"))
+    return df
+
+
+def riga_drinking_water_scope(
+    osm: DataFrame, polygon: Polygon | None = None
+) -> DataFrame:
+    return _poly(
+        osm.filter(
+            is_node("type")
+            & (get_value("tags", "amenity") == "drinking_water")
+            & doesnt_have_value("tags", "indoor", "yes")
+        ),
+        polygon,
+    )
+
+
+def riga_drinking_water(
+    spark: SparkSession,
+    osm: DataFrame,
+    taps: DataFrame,
+    polygon: Polygon | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (correlations, validation issues). taps: static city taps
+    (item_id, item_lat, item_lon)."""
+    scoped = riga_drinking_water_scope(osm, polygon)
+    elements = _slim(scoped, {"seasonal_tag": "seasonal"})
+    params = CorrelatorParams(  # reference passes NO distance params
+        lone_allowance_expr=lambda df: F.coalesce(
+            F.col("seasonal_tag") == "yes", F.lit(False)
+        ),
+    )
+    res = correlate(spark, elements, taps, params)
+    return res.correlations, validate_elements(scoped, DRINKING_WATER_RULES)
+
+
+def glika_strength(name: Column) -> Column:
+    return F.coalesce(
+        F.lower(name).contains("glika ozols"), F.lit(False)
+    )
+
+
+def glika_oaks(
+    spark: SparkSession, osm: DataFrame, oaks: DataFrame
+) -> DataFrame:
+    trees = osm.filter(
+        is_node("type") & (get_value("tags", "natural") == "tree")
+    )
+    elements = _slim(trees, {"name_tag": "name"})
+    params = CorrelatorParams(
+        unmatch_distance=300.0,  # MatchFarDistanceParamater(300)
+        strength_expr=lambda df: F.when(
+            glika_strength(F.col("name_tag")), F.lit(STRONG)
+        ).otherwise(F.lit(UNMATCHED)),
+        lone_allowance_expr=lambda df: glika_strength(F.col("name_tag")),
+    )
+    return correlate(spark, elements, oaks, params).correlations
+
+
+def city_meadows(
+    spark: SparkSession,
+    osm: DataFrame,
+    meadows: DataFrame,
+    polygon: Polygon | None = None,
+) -> DataFrame:
+    """meadows: (item_id, item_lat, item_lon, item_name)."""
+    scoped = _poly(
+        osm.filter(
+            (get_value("tags", "natural") == "grassland")
+            | (get_value("tags", "landuse") == "grass")
+        ),
+        polygon,
+    )
+    elements = _slim(
+        scoped,
+        {"name_tag": "name", "alt_name_tag": "alt_name", "descr_tag": "description"},
+    )
+    params = CorrelatorParams(
+        match_distance=50.0,
+        unmatch_distance=100.0,
+        strength_expr=lambda df: F.when(
+            F.coalesce(F.col("name_tag") == F.col("item_name"), F.lit(False))
+            | F.coalesce(
+                F.col("alt_name_tag") == F.col("item_name"), F.lit(False)
+            ),
+            F.lit(STRONG),
+        )
+        .when(
+            F.coalesce(
+                F.lower(F.col("descr_tag")).contains("pilsētas pļava"),
+                F.lit(False),
+            ),
+            F.lit(GOOD),
+        )
+        .otherwise(F.lit(UNMATCHED)),
+    )
+    return correlate(spark, elements, meadows, params).correlations
+
+
+def lvm_picnic_sites(
+    spark: SparkSession, osm: DataFrame, sites: DataFrame
+) -> DataFrame:
+    scoped = osm.filter(get_value("tags", "tourism") == "picnic_site")
+    params = CorrelatorParams(match_distance=100.0, unmatch_distance=300.0)
+    return correlate(spark, _slim(scoped, {}), sites, params).correlations
+
+
+def rs_ticket_vending_scope(osm: DataFrame) -> DataFrame:
+    return osm.filter(
+        (get_value("tags", "amenity") == "vending_machine")
+        & (get_value("tags", "vending") == "public_transport_tickets")
+    )
+
+
+def rs_ticket_vending(
+    spark: SparkSession, osm: DataFrame, machines: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """machines: (item_id, item_lat, item_lon, address). Returns
+    (correlations, validation issues)."""
+    scoped = rs_ticket_vending_scope(osm)
+    elements = _slim(
+        scoped,
+        {"street_tag": "addr:street", "housenum_tag": "addr:housenumber"},
+    )
+    params = CorrelatorParams(
+        match_distance=75.0,
+        unmatch_distance=150.0,
+        strong_extra_distance=500.0,
+        strength_expr=lambda df: F.when(
+            F.col("address").isNotNull()
+            & fuzzy_address_match(
+                F.col("street_tag"), F.col("housenum_tag"), F.col("address")
+            ),
+            F.lit(STRONG),
+        ).otherwise(F.lit(GOOD)),
+    )
+    res = correlate(spark, elements, machines, params)
+    return res.correlations, validate_elements(scoped, TICKET_VENDING_RULES)
+
+
+def _cc_normalize(c: Column) -> Column:
+    """NormalizeName (CulturalCenterAnalyzer.cs:274-283). (?iu), not
+    (?i): Java's bare CASE_INSENSITIVE is ASCII-only while the C#
+    RegexOptions.IgnoreCase folds Unicode, so the ū in "kultūras" needs
+    UNICODE_CASE to strip uppercase forms."""
+    c = F.trim(c)
+    c = F.regexp_replace(c, r"(?iu)\s+kultūras (nams|centrs)$", "")
+    c = F.regexp_replace(c, r"(?iu)^.+?\s+novada\s+", "")
+    return c
+
+
+def cc_names_match(data_name: Column, osm_name: Column) -> Column:
+    """NamesMatch (CulturalCenterAnalyzer.cs:251-271)."""
+    direct = F.lower(data_name) == F.lower(osm_name)
+    nd, no = _cc_normalize(data_name), _cc_normalize(osm_name)
+    norm_eq = F.lower(nd) == F.lower(no)
+    contain = (
+        (F.length(nd) > 5)
+        & (F.length(no) > 5)
+        & (
+            F.lower(no).contains(F.lower(nd))
+            | F.lower(nd).contains(F.lower(no))
+        )
+    )
+    return F.coalesce(direct | norm_eq | contain, F.lit(False))
+
+
+def cc_looks_like(name: Column) -> Column:
+    """LooksLikeCulturalCenter (CulturalCenterAnalyzer.cs:88-103)."""
+    low = F.lower(name)
+    out = F.lit(False)
+    for group in CC_KEYWORDS:
+        for kw in group:
+            out = out | F.coalesce(low.contains(kw), F.lit(False))
+    return out
+
+
+def cultural_centers(
+    spark: SparkSession,
+    osm: DataFrame,
+    centers: DataFrame,
+    polygon: Polygon | None = None,
+) -> DataFrame:
+    """centers: (item_id, item_lat, item_lon, item_name, address)."""
+    scoped = _poly(
+        osm.filter(get_value("tags", "amenity") == "community_centre"), polygon
+    )
+    elements = _slim(
+        scoped,
+        {
+            "name_tag": "name",
+            "official_name_tag": "official_name",
+            "street_tag": "addr:street",
+            "housenum_tag": "addr:housenumber",
+        },
+    )
+    params = CorrelatorParams(
+        match_distance=150.0,
+        unmatch_distance=500.0,
+        strong_extra_distance=700.0,
+        strength_expr=lambda df: F.when(
+            (
+                F.col("name_tag").isNotNull()
+                & cc_names_match(F.col("item_name"), F.col("name_tag"))
+            )
+            | (
+                F.col("official_name_tag").isNotNull()
+                & cc_names_match(
+                    F.col("item_name"), F.col("official_name_tag")
+                )
+            ),
+            F.lit(STRONG),
+        )
+        .when(
+            F.col("address").isNotNull()
+            & (F.col("address") != "")
+            & fuzzy_address_match(
+                F.col("street_tag"), F.col("housenum_tag"), F.col("address")
+            ),
+            F.lit(GOOD),
+        )
+        .otherwise(F.lit(REGULAR)),
+        lone_allowance_expr=lambda df: F.col("name_tag").isNotNull()
+        & cc_looks_like(F.col("name_tag")),
+    )
+    return correlate(spark, elements, centers, params).correlations
