@@ -319,3 +319,41 @@ def cultural_centers(
         & cc_looks_like(F.col("name_tag")),
     )
     return correlate(spark, elements, centers, params).correlations
+
+
+EDU_TYPES = [  # EducationalInstitutionAnalyzer.cs:26-29, amenity value per type
+    ("kindergarten", "kindergarten"),
+    ("school", "school"),
+    ("college", "college"),
+    ("university", "university"),
+]
+
+
+def educational_institutions(osm: DataFrame) -> DataFrame:
+    """EducationalInstitutionAnalyzer (:20-160): per-type name groups —
+    each amenity class grouped by name (missing name -> the reference's
+    '∅' placeholder) with occurrence counts, plus the per-type totals.
+    One scan: the four amenity filters are one isin + a type column.
+
+    Output: (kind, edu_type, name, n) with kind in {total, name_group}.
+    """
+    amap = {a: t for t, a in EDU_TYPES}
+    amen = get_value("tags", "amenity")
+    typ = None
+    for a, t in amap.items():
+        typ = F.when(amen == a, F.lit(t)) if typ is None else typ.when(
+            amen == a, F.lit(t)
+        )
+    scoped = osm.filter(amen.isin(*[a for _, a in EDU_TYPES])).select(
+        typ.alias("edu_type"),
+        F.coalesce(get_value("tags", "name"), F.lit("∅")).alias("name"),
+    )
+    groups = scoped.groupBy("edu_type", "name").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = scoped.groupBy("edu_type").agg(F.count(F.lit(1)).alias("n"))
+    return totals.select(
+        F.lit("total").alias("kind"), "edu_type", F.lit("").alias("name"), "n"
+    ).unionByName(
+        groups.select(F.lit("name_group").alias("kind"), "edu_type", "name", "n")
+    )

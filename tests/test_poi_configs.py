@@ -234,3 +234,30 @@ class TestCulturalCenters:
         assert ("lone_osm", 2, -1) in got
         assert ("matched", 3, 3) in got
         assert ("unmatched_item", -1, 2) in got
+
+
+def test_educational_institutions(spark):
+    from osmalyzer_spark.plans.poi_configs import educational_institutions
+
+    osm = _osm(
+        spark,
+        [
+            (1, "node", {"amenity": "school", "name": "Rīgas 1. vidusskola"},
+             56.0, 24.0),
+            (2, "way", {"amenity": "school", "name": "Rīgas 1. vidusskola"},
+             56.0, 24.0),
+            (3, "node", {"amenity": "school"}, 56.0, 24.0),  # unnamed
+            (4, "node", {"amenity": "kindergarten", "name": "Zvaniņš"},
+             56.0, 24.0),
+            (5, "node", {"amenity": "university", "name": "LU"}, 56.0, 24.0),
+            (6, "node", {"amenity": "library"}, 56.0, 24.0),  # out of scope
+        ],
+    )
+    rows = {(r.kind, r.edu_type, r.name): r.n
+            for r in educational_institutions(osm).collect()}
+    assert rows[("total", "school", "")] == 3
+    assert rows[("name_group", "school", "Rīgas 1. vidusskola")] == 2
+    assert rows[("name_group", "school", "∅")] == 1
+    assert rows[("total", "kindergarten", "")] == 1
+    assert rows[("name_group", "university", "LU")] == 1
+    assert ("total", "college", "") not in rows
