@@ -90,6 +90,7 @@ def main() -> None:
         "q65_city_analyzer": dq.q65_city_analyzer,
         "q66_parcel_lockers": dq.q66_parcel_lockers,
         "q68_cultural_monuments": dq.q68_cultural_monuments,
+        "q74_cultural_centers": dq.q74_cultural_centers,
         "flagship_correlator": flagship_correlator,
     }
 
