@@ -357,3 +357,175 @@ def educational_institutions(osm: DataFrame) -> DataFrame:
     ).unionByName(
         groups.select(F.lit("name_group").alias("kind"), "edu_type", "name", "n")
     )
+
+
+# --- State Services group (Analyzers/State Services/*.cs) -----------------
+
+COURTHOUSE_KEYWORDS = [  # CourthouseAnalyzer.cs:16-21
+    "tiesu nams", "rajona tiesa", "apgabaltiesa", "augstākā tiesa",
+]
+
+
+def _contains_ci(a: Column, b: Column) -> Column:
+    return F.coalesce(F.lower(a).contains(F.lower(b)), F.lit(False))
+
+
+def _bidi_contains_ci(a: Column, b: Column) -> Column:
+    """InvariantCultureIgnoreCase bidirectional containment."""
+    return _contains_ci(a, b) | _contains_ci(b, a)
+
+
+def notary_offices(
+    spark: SparkSession, osm: DataFrame, offices: DataFrame
+) -> DataFrame:
+    """NotaryAnalyzer (:28-67): office=notary, 100/300/+500(Strong).
+    Strength: fuzzy-address hit AND a name hit -> Strong; either alone
+    -> Good; neither -> Regular (NameMatches is bidirectional
+    case-insensitive containment, :69-79).
+    offices: (item_id, item_lat, item_lon, item_name, address)."""
+    scoped = osm.filter(get_value("tags", "office") == "notary")
+    elements = _slim(
+        scoped,
+        {"name_tag": "name", "street_tag": "addr:street",
+         "housenum_tag": "addr:housenumber"},
+    )
+    addr_hit = F.col("address").isNotNull() & fuzzy_address_match(
+        F.col("street_tag"), F.col("housenum_tag"), F.col("address")
+    )
+    name_hit = F.col("name_tag").isNotNull() & _bidi_contains_ci(
+        F.col("name_tag"), F.col("item_name")
+    )
+    params = CorrelatorParams(
+        match_distance=100.0,
+        unmatch_distance=300.0,
+        strong_extra_distance=500.0,
+        strength_expr=lambda df: F.when(addr_hit & name_hit, F.lit(STRONG))
+        .when(addr_hit | name_hit, F.lit(GOOD))
+        .otherwise(F.lit(REGULAR)),
+    )
+    return correlate(spark, elements, offices, params).correlations
+
+
+def validate_tag_suffixes(
+    matched: DataFrame,
+    prefix: str,
+    expected_value: str,
+    suffixes_col: str = "suffixes",
+) -> DataFrame:
+    """ValidateElementTagSuffixesMatchDataItemValues (Validator.cs:
+    505-590): over MATCHED pairs only — every expected suffix must be
+    present as `prefix:suffix == expected_value` (missing or different
+    value is an issue), and every existing `prefix:*` tag whose suffix
+    is not in the item's list is an `extra` issue.
+
+    matched: (elem_id, item_id, tags, <suffixes_col: array<string>>).
+    Output: (kind, elem_id, item_id, suffix, found) with kind in
+    {suffix_missing, suffix_wrong, suffix_extra}.
+    """
+    pre = prefix + ":"
+    base = matched.filter(F.col(suffixes_col).isNotNull())
+    exp = base.select(
+        "elem_id", "item_id", "tags",
+        F.explode(suffixes_col).alias("suffix"),
+    ).withColumn(
+        "found",
+        F.element_at(F.col("tags"), F.concat(F.lit(pre), F.col("suffix"))),
+    )
+    missing = exp.filter(F.col("found").isNull()).select(
+        F.lit("suffix_missing").alias("kind"), "elem_id", "item_id",
+        "suffix", F.lit("").alias("found"),
+    )
+    wrong = exp.filter(
+        F.col("found").isNotNull() & (F.col("found") != expected_value)
+    ).select(
+        F.lit("suffix_wrong").alias("kind"), "elem_id", "item_id",
+        "suffix", "found",
+    )
+    existing = base.select(
+        "elem_id", "item_id", F.col(suffixes_col).alias("__want"),
+        F.explode(
+            F.map_filter(F.col("tags"), lambda k, v: k.startswith(pre))
+        ).alias("k", "v"),
+    ).withColumn("suffix", F.expr(f"substring(k, {len(pre) + 1})"))
+    extra = existing.filter(
+        ~F.array_contains(F.col("__want"), F.col("suffix"))
+    ).select(
+        F.lit("suffix_extra").alias("kind"), "elem_id", "item_id",
+        "suffix", F.col("v").alias("found"),
+    )
+    return missing.unionByName(wrong).unionByName(extra)
+
+
+def courthouses(
+    spark: SparkSession, osm: DataFrame, courts: DataFrame
+) -> DataFrame:
+    """CourthouseAnalyzer (:32-125): amenity=courthouse,
+    100/300/+700(Strong). A "different type of courthouse" name
+    (zemesgrāmat/bāriņties, :128-137) is UNMATCHED outright; a
+    fuzzy-address hit is Strong when GoodNameMatch (bidirectional
+    containment or a shared specific keyword, :90-109) else Good;
+    everything else Regular. Lone allowance: not-different-type AND the
+    name contains a courthouse keyword.
+    courts: (item_id, item_lat, item_lon, item_name, address)."""
+    scoped = osm.filter(get_value("tags", "amenity") == "courthouse")
+    elements = _slim(
+        scoped,
+        {"name_tag": "name", "street_tag": "addr:street",
+         "housenum_tag": "addr:housenumber"},
+    )
+    low = F.lower(F.col("name_tag"))
+    different = F.coalesce(
+        low.contains("zemesgrāmat") | low.contains("bāriņties"), F.lit(False)
+    )
+    addr_hit = F.col("address").isNotNull() & fuzzy_address_match(
+        F.col("street_tag"), F.col("housenum_tag"), F.col("address")
+    )
+    kw_shared = F.lit(False)
+    kw_elem = F.lit(False)
+    for kw in COURTHOUSE_KEYWORDS:
+        kw_shared = kw_shared | (
+            _contains_ci(F.col("name_tag"), F.lit(kw))
+            & _contains_ci(F.col("item_name"), F.lit(kw))
+        )
+        kw_elem = kw_elem | _contains_ci(F.col("name_tag"), F.lit(kw))
+    good_name = F.col("name_tag").isNotNull() & (
+        _bidi_contains_ci(F.col("name_tag"), F.col("item_name")) | kw_shared
+    )
+    params = CorrelatorParams(
+        match_distance=100.0,
+        unmatch_distance=300.0,
+        strong_extra_distance=700.0,
+        strength_expr=lambda df: F.when(different, F.lit(UNMATCHED))
+        .when(addr_hit & good_name, F.lit(STRONG))
+        .when(addr_hit, F.lit(GOOD))
+        .otherwise(F.lit(REGULAR)),
+        lone_allowance_expr=lambda df: ~different
+        & F.col("name_tag").isNotNull()
+        & kw_elem,
+    )
+    return correlate(spark, elements, courts, params).correlations
+
+
+def state_police(
+    spark: SparkSession,
+    osm: DataFrame,
+    offices: DataFrame,
+    polygon: Polygon | None = None,
+) -> DataFrame:
+    """StatePoliceAnalyzer (:28-46): amenity=police inside the country
+    polygon, 100/200, no strength callback; lone allowance: the element
+    does NOT look like some other police (name or operator containing
+    "pašvaldīb" case-insensitively, :50-70)."""
+    scoped = _poly(osm.filter(get_value("tags", "amenity") == "police"), polygon)
+    elements = _slim(
+        scoped, {"name_tag": "name", "operator_tag": "operator"}
+    )
+    other = _contains_ci(F.col("name_tag"), F.lit("pašvaldīb")) | _contains_ci(
+        F.col("operator_tag"), F.lit("pašvaldīb")
+    )
+    params = CorrelatorParams(
+        match_distance=100.0,
+        unmatch_distance=200.0,
+        lone_allowance_expr=lambda df: ~other,
+    )
+    return correlate(spark, elements, offices, params).correlations

@@ -9,11 +9,15 @@ from osmalyzer_spark.plans.poi_configs import (
     cc_looks_like,
     cc_names_match,
     city_meadows,
+    courthouses,
     cultural_centers,
     glika_oaks,
     lvm_picnic_sites,
+    notary_offices,
     riga_drinking_water,
     rs_ticket_vending,
+    state_police,
+    validate_tag_suffixes,
 )
 
 DEG = 1.0 / 111297.0  # ~1 m of latitude at the engine's R=6376500
@@ -261,3 +265,107 @@ def test_educational_institutions(spark):
     assert rows[("total", "kindergarten", "")] == 1
     assert rows[("name_group", "university", "LU")] == 1
     assert ("total", "college", "") not in rows
+
+
+class TestStateServices:
+    def test_notary_strength_cascade(self, spark):
+        osm = _osm(
+            spark,
+            [
+                # addr + name -> Strong at 600 m (<= 800) -> matched_far
+                (1, "node", {"office": "notary",
+                             "name": "Zvērināts notārs Jānis Bērziņš",
+                             "addr:street": "Ozolu iela",
+                             "addr:housenumber": "9"},
+                 56.0 + 600 * DEG, 24.0),
+                # name only -> Good at 250 m (<= 300) -> matched_far
+                (2, "node", {"office": "notary", "name": "Anna Liepa"},
+                 57.0 + 250 * DEG, 24.0),
+                # neither -> Regular at 250 m -> survives (<= 300)? yes
+                (3, "node", {"office": "notary"}, 58.0 + 250 * DEG, 24.0),
+                # Strong-only band: neither -> Regular at 600 m -> dropped
+                (4, "node", {"office": "notary"}, 59.0 + 600 * DEG, 24.0),
+            ],
+        )
+        offices = spark.createDataFrame(
+            [
+                (1, 56.0, 24.0, "Jānis Bērziņš", "Ozolu iela 9"),
+                (2, 57.0, 24.0, "Anna Liepa", "Liepu iela 2"),
+                (3, 58.0, 24.0, "Cits Notārs", None),
+                (4, 59.0, 24.0, "Vēl Viens", None),
+            ],
+            "item_id long, item_lat double, item_lon double, "
+            "item_name string, address string",
+        )
+        rows = {r.osm_id: r for r in notary_offices(spark, osm, offices)
+                .collect() if r.osm_id is not None and r.item_id is not None}
+        assert rows[1].strength == 3 and rows[1].kind == "matched_far"
+        assert rows[2].strength == 2
+        assert rows[3].strength == 1
+        assert 4 not in rows  # Regular beyond 300 never correlates
+
+    def test_suffix_validator(self, spark):
+        matched = spark.createDataFrame(
+            [
+                (1, 10, {"language:lv": "yes", "language:en": "no",
+                         "language:de": "yes", "name": "x"},
+                 ["lv", "en", "ru"]),
+                (2, 11, {"name": "y"}, None),  # no expected list -> skipped
+            ],
+            "elem_id long, item_id long, tags map<string,string>, "
+            "suffixes array<string>",
+        )
+        rows = {(r.kind, r.suffix): r.found
+                for r in validate_tag_suffixes(
+                    matched, "language", "yes").collect()}
+        assert rows == {
+            ("suffix_missing", "ru"): "",
+            ("suffix_wrong", "en"): "no",
+            ("suffix_extra", "de"): "yes",
+        }
+
+    def test_courthouse_different_type_and_keywords(self, spark):
+        osm = _osm(
+            spark,
+            [
+                # different-type name at 0 m -> UNMATCHED pair dropped;
+                # not lone either
+                (1, "way", {"amenity": "courthouse",
+                            "name": "Ogres Bāriņtiesa"}, 56.0, 24.0),
+                # shared specific keyword + address -> Strong
+                (2, "way", {"amenity": "courthouse",
+                            "name": "Kurzemes apgabaltiesa (ēka)",
+                            "addr:street": "Ozolu iela",
+                            "addr:housenumber": "9"},
+                 56.0 + 20 * DEG, 24.0),
+                # keyword name, no candidates -> lone
+                (3, "way", {"amenity": "courthouse",
+                            "name": "Zemgales rajona tiesa"}, 58.0, 24.0),
+            ],
+        )
+        courts = spark.createDataFrame(
+            [(1, 56.0, 24.0, "Kurzemes apgabaltiesa", "Ozolu iela 9")],
+            "item_id long, item_lat double, item_lon double, "
+            "item_name string, address string",
+        )
+        got = _kinds(courthouses(spark, osm, courts))
+        assert ("matched", 2, 1) in got
+        assert ("unmatched_osm", 1, -1) in got
+        assert ("lone_osm", 3, -1) in got
+
+    def test_state_police_lone(self, spark):
+        osm = _osm(
+            spark,
+            [
+                (1, "node", {"amenity": "police", "name": "VP iecirknis"},
+                 58.0, 24.0),
+                (2, "node", {"amenity": "police",
+                             "operator": "Rīgas pašvaldības policija"},
+                 58.5, 24.0),
+            ],
+        )
+        offices = _items(spark, [(1, 56.0, 24.0)])
+        got = _kinds(state_police(spark, osm, offices))
+        assert ("lone_osm", 1, -1) in got
+        assert ("unmatched_osm", 2, -1) in got
+        assert ("unmatched_item", -1, 1) in got
