@@ -61,6 +61,25 @@ def _dynamic_overwrite(spark: SparkSession):
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
 
+def _write_value(spark: SparkSession, value: str, path: str) -> None:
+    """One-string marker/record write, via Spark (any Hadoop filesystem).
+
+    Written as a single-partition `range(1).select(lit(value))` parquet:
+    a `createDataFrame([...]).coalesce(1)` local-relation write measures
+    a ~5 s fixed cost per call in this environment vs ~0.2 s for this
+    form (guide §1 measure-first), and these markers are written on
+    every checkpointed run."""
+    spark.range(0, 1, 1, 1).select(F.lit(value).alias("value")).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def _read_value(spark: SparkSession, path: str) -> str:
+    """Read back a `_write_value` marker (raises if absent)."""
+    rows = spark.read.parquet(path).collect()
+    return rows[0]["value"]
+
+
 @dataclass
 class CheckpointedRun:
     out_path: str
@@ -90,7 +109,18 @@ class CheckpointedRun:
             return set()
 
     def _write_progress(self, spark: SparkSession, rows: list[tuple]) -> None:
-        spark.createDataFrame(rows, PROGRESS_SCHEMA).write.mode("append").parquet(
+        import pandas as pd
+
+        # pandas -> Arrow createDataFrame: ~3x less fixed cost per write
+        # than the pickled-rows local relation (measured; guide §6 Arrow)
+        pdf = pd.DataFrame(
+            rows,
+            columns=[
+                "run_id", "bucket", "rows_in", "rows_out",
+                "wall_ms", "input_snapshot", "batch_ts",
+            ],
+        )
+        spark.createDataFrame(pdf, PROGRESS_SCHEMA).write.mode("append").parquet(
             self._progress_path
         )
 
@@ -103,13 +133,11 @@ class CheckpointedRun:
         partitioned parquet write creates NO files) still yield a typed
         empty result instead of an unreadable directory."""
         try:
-            spark.read.text(self._schema_path).collect()
+            _read_value(spark, self._schema_path)
             return
         except Exception:  # noqa: BLE001 — not recorded yet
             pass
-        spark.createDataFrame([(df.schema.json(),)], "value string").coalesce(
-            1
-        ).write.mode("overwrite").text(self._schema_path)
+        _write_value(spark, df.schema.json(), self._schema_path)
 
     def _read_data(self, spark: SparkSession) -> DataFrame:
         try:
@@ -119,8 +147,7 @@ class CheckpointedRun:
 
             from pyspark.sql.types import StructType
 
-            rows = spark.read.text(self._schema_path).collect()
-            schema = StructType.fromJson(json.loads(rows[0]["value"]))
+            schema = StructType.fromJson(json.loads(_read_value(spark, self._schema_path)))
             return spark.createDataFrame([], schema)
 
     def _result(self, spark: SparkSession) -> DataFrame:
@@ -176,8 +203,7 @@ class CheckpointedRun:
             sort_keys=True,
         )
         try:
-            rows = spark.read.text(marker).collect()
-            existing = rows[0]["value"] if rows else None
+            existing = _read_value(spark, marker)
         except Exception:  # noqa: BLE001 — not staged yet
             existing = None
         if existing is None:
@@ -187,9 +213,7 @@ class CheckpointedRun:
                 .partitionBy(bucket_col)
                 .parquet(path)
             )
-            spark.createDataFrame([(want,)], "value string").coalesce(
-                1
-            ).write.mode("overwrite").text(marker)
+            _write_value(spark, want, marker)
         elif existing != want:
             raise ValueError(
                 f"staged input {name!r} at {path} was built from a different "

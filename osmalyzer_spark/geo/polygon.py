@@ -174,6 +174,43 @@ def pip_tag_udf(polygons: list[Polygon]):
     return _tag
 
 
+def inside_ring_expr(lat, lon, ring) -> Column:
+    """Native-expression ray cast of a point against a per-row ring column
+    (array<struct<lat,lon>>, closing vertex stored) — the same boundary
+    conventions and IEEE operation order as `ring_contains`
+    (OsmPolygon.cs:112-128): edge (a, a-1 wrap over ALL stored vertices),
+    toggle when the edge lons straddle the point lon and the lat
+    interpolated at the point lon is strictly below the point lat.
+
+    Replaces the per-pair pandas-UDF ray cast on hot paths: the ring
+    arrays stay in the JVM instead of crossing the Arrow boundary once
+    per candidate pair (guide §4.1; measured ~3 s of a 10 s query at
+    sf0.1 was Arrow struct-array serialization alone).
+    """
+    y = lat if isinstance(lat, Column) else F.col(lat)
+    x = lon if isinstance(lon, Column) else F.col(lon)
+    r = ring if isinstance(ring, Column) else F.col(ring)
+    n = F.size(r)
+
+    def term(apos):
+        va = F.element_at(r, apos)
+        vb = F.element_at(r, F.when(apos == 1, n).otherwise(apos - 1))
+        ga, la = va["lon"], va["lat"]
+        gb, lb = vb["lon"], vb["lat"]
+        straddle = ((ga < x) & (gb >= x)) | ((gb < x) & (ga >= x))
+        # same op order as ring_contains: t = (x-ga)/(gb-ga); la + t*(lb-la);
+        # the denom==0 guard mirrors numpy's where() (straddle is false
+        # there, so the guarded value never decides)
+        t = F.when(gb != ga, (x - ga) / (gb - ga)).otherwise(F.lit(0.0))
+        cross = la + t * (lb - la)
+        return F.when(straddle & (cross < y), F.lit(1)).otherwise(F.lit(0))
+
+    crossings = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0), lambda acc, apos: acc + term(apos)
+    )
+    return crossings % 2 == 1
+
+
 def contains_expr(polygon: Polygon, lat, lon) -> Column:
     """Boolean column: point inside polygon (bbox prefilter natively, exact
     ray cast via the vectorized UDF)."""

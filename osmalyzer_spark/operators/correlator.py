@@ -95,6 +95,11 @@ class CorrelatorParams:
     # max rows of DA round state (watermarks / contested acceptors) that
     # may be broadcast; larger round states use a shuffle join instead
     broadcast_row_limit: int = 1_000_000
+    # candidate tables at or below this row count are solved by the
+    # driver-local Gale-Shapley (same discipline as the CC local-edge
+    # gate: a bounded ~30 MB collect replaces per-round job latency);
+    # 0 forces the distributed round loop
+    da_local_pair_threshold: int = 300_000
 
     @property
     def seek_distance(self) -> float:
@@ -166,6 +171,104 @@ def _no_binary(df: DataFrame, side: str) -> None:
             )
 
 
+def _local_da(
+    spark: SparkSession,
+    cand: DataFrame,
+    proposer: str,
+    acceptor: str,
+    proposer_order: list[Column],
+    acceptor_order: list[Column],
+) -> DataFrame:
+    """Driver-local Gale-Shapley over a collected candidate table.
+
+    Produces EXACTLY the distributed round loop's holds (same rows, same
+    schema): with strict preferences the proposer-optimal stable matching
+    is unique and independent of proposal scheduling, and the tie-break
+    structure mirrors the distributed aggregates bit for bit — proposals
+    are min over (pkey, payload-minus-proposer), acceptance is min over
+    (akey, payload-minus-acceptor), and per-proposer candidates that share
+    an exact pkey are reduced to the min-payload one (the distributed
+    watermark walk `pkey > lost` skips the rest, so they are unreachable
+    there too).
+
+    This is a latency optimization with the same discipline as the CC
+    local-edge gate: a bounded driver-side solve (rows <= threshold, tens
+    of MB) replaces O(displacement-chain) rounds of multi-job shuffle
+    latency. Beyond the gate the distributed loop runs unchanged.
+    """
+    data_cols = list(cand.columns)
+    n_p = len(proposer_order)
+    n_a = len(acceptor_order)
+    pcols = [f"__p{i}" for i in range(n_p)]
+    acols = [f"__a{i}" for i in range(n_a)]
+    # key COMPONENTS as flat scalar columns — struct columns would arrive
+    # in pandas as per-row dicts, an order-of-magnitude slower conversion
+    sel = cand.select(
+        "*",
+        *[c.alias(pcols[i]) for i, c in enumerate(proposer_order)],
+        *[c.alias(acols[i]) for i, c in enumerate(acceptor_order)],
+    )
+    pdf = sel.toPandas()
+    if len(pdf) == 0:
+        return spark.createDataFrame([], cand.schema)
+
+    ppay_cols = [c for c in data_cols if c != proposer]
+    apay_cols = [c for c in data_cols if c != acceptor]
+    # proposer walk order = distributed min(struct(pkey, payload)): sort by
+    # (proposer, key components, payload fields in column order), stable
+    pdf = pdf.sort_values([proposer] + pcols + ppay_cols, kind="mergesort")
+    # per-proposer candidates sharing an exact pkey reduce to the
+    # min-payload one (the distributed watermark walk `pkey > lost` skips
+    # the rest); after this, pkeys are strictly ascending within a group
+    pdf = pdf.drop_duplicates(subset=[proposer] + pcols, keep="first")
+    pdf = pdf.reset_index(drop=True)
+
+    n = len(pdf)
+    prop = pdf[proposer].tolist()
+    acc = pdf[acceptor].tolist()
+    acomp = [pdf[c].tolist() for c in acols + apay_cols]
+
+    # contiguous [start, end) ranges per proposer (sorted => grouped)
+    bounds = []
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n and prop[j] == prop[i]:
+            j += 1
+        bounds.append((i, j))
+        i = j
+
+    def akey(i):
+        # acceptance order = distributed min(struct(akey, payload))
+        return tuple(c[i] for c in acomp)
+
+    hold: dict = {}  # acceptor -> (acc_key, bound_idx, row_idx)
+    ptr = [s for s, _ in bounds]
+    ends = [e for _, e in bounds]
+    stack = list(range(len(bounds)))
+    while stack:
+        b = stack.pop()
+        i = ptr[b]
+        e = ends[b]
+        while i < e:
+            aid = acc[i]
+            ak = akey(i)
+            i += 1
+            cur = hold.get(aid)
+            if cur is None or ak < cur[0]:
+                if cur is not None:
+                    stack.append(cur[1])
+                hold[aid] = (ak, b, i - 1)
+                break
+        ptr[b] = i
+
+    held = sorted(v[2] for v in hold.values())
+    out_pdf = pdf.iloc[held][data_cols]
+    if len(out_pdf) == 0:
+        return spark.createDataFrame([], cand.schema)
+    return spark.createDataFrame(out_pdf, schema=cand.schema)
+
+
 def deferred_acceptance(
     spark: SparkSession,
     cand: DataFrame,
@@ -176,6 +279,7 @@ def deferred_acceptance(
     max_rounds: int = 64,
     checkpoint_every: int = 8,
     broadcast_row_limit: int = 1_000_000,
+    local_pair_threshold: int = 300_000,
 ) -> tuple[DataFrame, int]:
     """Distributed Gale-Shapley over a candidate-pair DataFrame.
 
@@ -225,6 +329,16 @@ def deferred_acceptance(
     # by the watermark design) is pinned to a matching small constant
     # instead of the session's cluster-sized shuffle partitioning.
     n_cand = cand.count()
+    if n_cand <= local_pair_threshold:
+        # small candidate sets: the matching is latency-bound (each round
+        # is several sequential jobs), not volume-bound — solve at the
+        # driver (same gate discipline as connected_components_star's
+        # local_edge_threshold; ~30 MB of slim rows at the default).
+        # Identical holds by GS uniqueness; tests force both paths.
+        return (
+            _local_da(spark, cand, proposer, acceptor, proposer_order, acceptor_order),
+            0,
+        )
     cand_parts = max(4, min(4096, -(-n_cand // 250_000)))
     cand = cand.coalesce(cand_parts)
     state_parts = min(32, cand_parts)
@@ -511,6 +625,7 @@ def _assign(
     holds, rounds = deferred_acceptance(
         spark, cand, "item_id", "elem_id", proposer_order, acceptor_order,
         p.max_rounds, broadcast_row_limit=p.broadcast_row_limit,
+        local_pair_threshold=p.da_local_pair_threshold,
     )
     matched = holds.withColumn(
         "far",
@@ -602,6 +717,7 @@ def _assign(
             ],
             max_rounds=p.max_rounds,
             broadcast_row_limit=p.broadcast_row_limit,
+            local_pair_threshold=p.da_local_pair_threshold,
         )
         upgrades = up_holds.withColumn(
             "far", F.col("dist_m") > F.lit(p.match_distance)

@@ -23,11 +23,8 @@ Distributed re-expression of the reference's pointer-linking pass
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from osmalyzer_spark.geo.cells import cell_id_expr
 from osmalyzer_spark.geo.distance import angle_between_segments_deg
@@ -140,28 +137,10 @@ def double_mapped_features(
     )
     pairs = n.join(a, ["__cell"]).filter(F.col(class_col) == F.col("area_class"))
 
-    @F.pandas_udf(T.BooleanType())
-    def inside_ring(
-        lat: pd.Series, lon: pd.Series, area_id: pd.Series, ring: pd.Series
-    ) -> pd.Series:
-        from osmalyzer_spark.geo.polygon import ring_contains
-
-        # candidate pairs arrive many-nodes-per-area: decode each ring
-        # ONCE per area in the batch and ray-cast all its nodes in one
-        # vectorized call, instead of per-row python
-        out = np.zeros(len(lat), dtype=bool)
-        la, lo = lat.to_numpy(), lon.to_numpy()
-        groups: dict = {}
-        for i, aid in enumerate(area_id):
-            groups.setdefault(aid, []).append(i)
-        for idxs in groups.values():
-            pos = np.asarray(idxs)
-            r = np.array([[p["lat"], p["lon"]] for p in ring.iloc[pos[0]]])
-            out[pos] = ring_contains(la[pos], lo[pos], r)
-        return pd.Series(out)
+    from osmalyzer_spark.geo.polygon import inside_ring_expr
 
     return (
-        pairs.withColumn("inside", inside_ring("lat", "lon", "area_id", "ring"))
+        pairs.withColumn("inside", inside_ring_expr("lat", "lon", "ring"))
         .filter(F.col("inside"))
         .select("node_id", "area_id", class_col)
         .dropDuplicates(["node_id", "area_id"])

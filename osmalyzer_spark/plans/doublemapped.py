@@ -25,7 +25,8 @@ Semantics preserved from the reference:
 Spark shape: classification and area size are pure native expressions
 (no UDF); the candidate join is cell-bucketed on the area average
 coord (areas are capped at 0.3 km2, far under the cell size); the
-exact ray cast is the shared grouped vectorized pandas UDF. Output:
+exact ray cast is the shared native ray-cast expression
+(geo/polygon.inside_ring_expr — no Python boundary). Output:
 (area_id, feature_key, feature_value, area_km2 rounded to 3 like the
 reference's F3 display, n_nodes, node_ids numerically-sorted
 comma-joined).
@@ -33,14 +34,12 @@ comma-joined).
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from osmalyzer_spark.functions.tags import get_value, has_key
 from osmalyzer_spark.geo.cells import cell_id_expr, neighbor_cells_expr
+from osmalyzer_spark.geo.polygon import inside_ring_expr
 
 AREA_AMENITIES = ["parking", "fuel", "kindergarten", "school", "college", "university"]
 AREA_LEISURE = ["pitch", "park", "playground", "marina"]
@@ -99,24 +98,6 @@ def area_size_km2(ring: str) -> F.Column:
     return F.when(
         n >= 3, F.abs(seg * 6378137.0 * 6378137.0 / 2.0 / 1000000.0)
     ).otherwise(F.lit(0.0))
-
-
-@F.pandas_udf(T.BooleanType())
-def _inside_ring(
-    lat: pd.Series, lon: pd.Series, area_id: pd.Series, ring: pd.Series
-) -> pd.Series:
-    from osmalyzer_spark.geo.polygon import ring_contains
-
-    out = np.zeros(len(lat), dtype=bool)
-    la, lo = lat.to_numpy(), lon.to_numpy()
-    groups: dict = {}
-    for i, aid in enumerate(area_id):
-        groups.setdefault(aid, []).append(i)
-    for idxs in groups.values():
-        pos = np.asarray(idxs)
-        r = np.array([[p["lat"], p["lon"]] for p in ring.iloc[pos[0]]])
-        out[pos] = ring_contains(la[pos], lo[pos], r)
-    return pd.Series(out)
 
 
 def double_mapped_check(
@@ -186,7 +167,7 @@ def double_mapped_check(
         p.join(a, "__cell")
         .filter((F.col("nkey") == F.col("feature_key")) & (F.col("nval") == F.col("feature_value")))
         .filter(cheap <= NEAR_M)
-        .withColumn("inside", _inside_ring("lat", "lon", "area_id", "ring"))
+        .withColumn("inside", inside_ring_expr("lat", "lon", "ring"))
         .filter(F.col("inside"))
         .select("area_id", "feature_key", "feature_value", "area_km2", "node_id")
         .dropDuplicates(["area_id", "node_id"])

@@ -29,35 +29,15 @@ all-pairs stage anywhere.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from osmalyzer_spark.functions.tags import get_value
 from osmalyzer_spark.geo.cells import cell_id_expr, neighbor_cells_expr
+from osmalyzer_spark.geo.polygon import inside_ring_expr
 
 NODE_PROXIMITY_M = 30.0  # PlaygroundAnalyzer.cs:24
 SEARCH_DISTANCE_M = 100.0  # PlaygroundAnalyzer.cs:29
-
-
-@F.pandas_udf(T.BooleanType())
-def _inside_ring(
-    lat: pd.Series, lon: pd.Series, pg_id: pd.Series, ring: pd.Series
-) -> pd.Series:
-    from osmalyzer_spark.geo.polygon import ring_contains
-
-    out = np.zeros(len(lat), dtype=bool)
-    la, lo = lat.to_numpy(), lon.to_numpy()
-    groups: dict = {}
-    for i, aid in enumerate(pg_id):
-        groups.setdefault(aid, []).append(i)
-    for idxs in groups.values():
-        pos = np.asarray(idxs)
-        r = np.array([[p["lat"], p["lon"]] for p in ring.iloc[pos[0]]])
-        out[pos] = ring_contains(la[pos], lo[pos], r)
-    return pd.Series(out)
 
 
 def playground_check(
@@ -113,7 +93,7 @@ def playground_check(
     e_cells = eq.withColumn("__cell", cell_id_expr("eq_lat", "eq_lon", cell_deg))
     in_poly = (
         e_cells.join(a, "__cell")
-        .withColumn("inside", _inside_ring("eq_lat", "eq_lon", "pg_id", "ring"))
+        .withColumn("inside", inside_ring_expr("eq_lat", "eq_lon", "ring"))
         .filter(F.col("inside"))
         .select("eq_id")
     )

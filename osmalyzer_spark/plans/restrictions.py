@@ -188,8 +188,12 @@ def turn_restriction_check(relations: DataFrame, ways: DataFrame) -> DataFrame:
     Returns (relation_id, issue, detail).
     """
     rels = relations.filter(get_value("tags", "type") == "restriction")
-    tags = _classify_tags(rels).cache()
-    members = _classify_members(rels).cache()
+    # localCheckpoint, not cache: 13 downstream issue branches re-analyze
+    # and re-optimize the shared subplan on every reference — truncating
+    # the lineage here keeps every branch's plan a short LogicalRDD scan
+    # (guide §3.3 plan-size note; measured ~2x on q50 wall)
+    tags = _classify_tags(rels).localCheckpoint(eager=False)
+    members = _classify_members(rels).localCheckpoint(eager=False)
 
     issues = []
 
@@ -240,6 +244,7 @@ def turn_restriction_check(relations: DataFrame, ways: DataFrame) -> DataFrame:
             F.max(F.when(F.col("is_conditional"), F.col("main_value"))).alias("c_main"),
             F.max(F.when(F.col("is_conditional"), F.col("condition"))).alias("c_cond"),
         )
+        .localCheckpoint(eager=False)  # 3 filter branches below
     )
     issues.append(
         _issue(
@@ -285,7 +290,7 @@ def turn_restriction_check(relations: DataFrame, ways: DataFrame) -> DataFrame:
             )
         ).alias("base_values"),
         F.array_sort(F.collect_set("mode")).alias("modes"),
-    )
+    ).localCheckpoint(eager=False)  # feeds 2 issues + kind + has_default
     non_none = F.filter(F.col("base_values"), lambda v: v != "none")
     issues.append(
         _issue(
@@ -399,7 +404,7 @@ def turn_restriction_check(relations: DataFrame, ways: DataFrame) -> DataFrame:
         F.array(*[F.when(cond, F.lit(name)) for name, cond in role_rules]),
         lambda x: x.isNotNull(),
     )
-    mk = mk.withColumn("role_issues", fired)
+    mk = mk.withColumn("role_issues", fired).localCheckpoint(eager=False)
     issues.append(
         mk.filter(F.size("role_issues") > 0).select(
             "relation_id",
@@ -473,7 +478,9 @@ def turn_restriction_check(relations: DataFrame, ways: DataFrame) -> DataFrame:
     )
     # an unresolvable way ref yields null endpoints -> fail closed (the
     # reference's all-members-downloaded prefilter makes this unreachable)
-    chains = chains.withColumn("chained", F.coalesce(chained, F.lit(False)))
+    chains = chains.withColumn(
+        "chained", F.coalesce(chained, F.lit(False))
+    ).localCheckpoint(eager=False)  # not_chained issue + pointless-turn join
     issues.append(
         _issue(chains.filter(~F.col("chained")), "not_chained", F.lit(""))
     )

@@ -195,7 +195,12 @@ def test_deferred_acceptance_raises_on_nonconvergence(spark):
     items = [dict(item_id=s, **dict(zip(("lat", "lon"), at(0, 1)))) for s in "abc"]
     edf, idf = make_dfs(spark, elems, items)
     with pytest.raises(RuntimeError, match="did not converge"):
-        correlate(spark, edf, idf, CorrelatorParams(max_rounds=1))
+        # da_local_pair_threshold=0: the gate would otherwise solve this
+        # tiny scene at the driver (which always converges)
+        correlate(
+            spark, edf, idf,
+            CorrelatorParams(max_rounds=1, da_local_pair_threshold=0),
+        )
 
 
 def test_scene_polygon_prefilter(spark):
@@ -491,7 +496,10 @@ def test_da_shuffle_join_path_matches_broadcast_path(spark):
     base = correlate(spark, edf, idf, CorrelatorParams(unmatch_distance=75.0))
     guarded = correlate(
         spark, edf, idf,
-        CorrelatorParams(unmatch_distance=75.0, broadcast_row_limit=0),
+        CorrelatorParams(
+            unmatch_distance=75.0, broadcast_row_limit=0,
+            da_local_pair_threshold=0,
+        ),
     )
     key = lambda r: (r["elem_id"], r["item_id"], r["strength"], round(r["dist_m"], 9), r["far"])
     assert sorted(map(key, base.matched.collect())) == sorted(
@@ -502,7 +510,50 @@ def test_da_shuffle_join_path_matches_broadcast_path(spark):
     )
     # and the oracle agrees with the guarded path too
     run_both(spark, elements, items,
-             CorrelatorParams(unmatch_distance=75.0, broadcast_row_limit=0))
+             CorrelatorParams(unmatch_distance=75.0, broadcast_row_limit=0,
+                              da_local_pair_threshold=0))
+
+
+def test_da_local_gate_matches_distributed(spark):
+    """The driver-local GS gate (da_local_pair_threshold, r6) must
+    reproduce the distributed round loop EXACTLY — full parameter surface
+    (strengths, extra distances, lone allowance + strong upgrade) on a
+    dense random scene with contested elements and displacement chains."""
+    rng = np.random.default_rng(515)
+    elements = [
+        dict(elem_id=e, tag=str(e % 5),
+             **dict(zip(("lat", "lon"),
+                        at(float(rng.uniform(-50, 50)), float(rng.uniform(-300, 300))))))
+        for e in range(40)
+    ]
+    items = [
+        dict(item_id=f"i{k:03d}", tag=str(k % 5),
+             **dict(zip(("lat", "lon"),
+                        at(float(rng.uniform(-60, 60)), float(rng.uniform(-320, 320))))))
+        for k in range(120)
+    ]
+    edf, idf = make_dfs(spark, elements, items)
+    kw = dict(
+        unmatch_distance=75.0,
+        good_extra_distance=30.0,
+        strong_extra_distance=60.0,
+        strength_expr=tag_strength_expr,
+        lone_allowance_expr=lambda df: F.col("elem_id") % 3 == 0,
+        lone_strong_match_strength=STRONG,
+    )
+    local = correlate(spark, edf, idf, CorrelatorParams(**kw))
+    dist = correlate(
+        spark, edf, idf, CorrelatorParams(**kw, da_local_pair_threshold=0)
+    )
+    key = lambda r: (r["elem_id"], r["item_id"], r["strength"],
+                     round(r["dist_m"], 9), r["far"])
+    assert sorted(map(key, local.matched.collect())) == sorted(
+        map(key, dist.matched.collect())
+    )
+    for attr in ("unmatched_items", "unmatched_elements", "lone_elements"):
+        assert sorted(map(tuple, getattr(local, attr).collect())) == sorted(
+            map(tuple, getattr(dist, attr).collect())
+        ), attr
 
 
 def test_checkpointed_grouped_map_solver_full_semantics(spark, tmp_path):
