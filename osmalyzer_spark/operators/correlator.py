@@ -627,18 +627,22 @@ def _assign(
         p.max_rounds, broadcast_row_limit=p.broadcast_row_limit,
         local_pair_threshold=p.da_local_pair_threshold,
     )
+    # lazy checkpoints: truncate lineage for the many downstream
+    # consumers WITHOUT paying one sequential driver action each — the
+    # blocks materialize inside the first consuming job (three eager
+    # actions per correlate() call measured ~1 s each at sf0.1)
     matched = holds.withColumn(
         "far",
         F.lit(False) if p.match_anywhere else F.col("dist_m") > F.lit(p.match_distance),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     # --- reverse pass (unmatched elements) --------------------------------
     unmatched_items = items_in.join(
         matched.select("item_id"), "item_id", "left_anti"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     unmatched_elems = elems_slim.join(
         matched.select("elem_id"), "elem_id", "left_anti"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     lone_cand = unmatched_elems.filter(F.col("__lone"))
     plain_unmatched = unmatched_elems.filter(~F.col("__lone"))
 
@@ -721,7 +725,7 @@ def _assign(
         )
         upgrades = up_holds.withColumn(
             "far", F.col("dist_m") > F.lit(p.match_distance)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         matched = matched.unionByName(upgrades)
         lone_cand = lone_cand.join(upgrades.select("elem_id"), "elem_id", "left_anti")
         unmatched_items = unmatched_items.join(

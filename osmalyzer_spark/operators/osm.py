@@ -132,6 +132,7 @@ def double_mapped_features(
     )
     from osmalyzer_spark.geo.cells import neighbor_cells_expr
 
+    a = a.localCheckpoint(eager=False)  # broadcast-built join side
     a = a.withColumn(
         "__cell", F.explode(neighbor_cells_expr(cell_id_expr("__clat", "__clon", cell_deg)))
     )

@@ -86,6 +86,7 @@ def playground_check(
         F.aggregate("ring", F.lit(0.0), lambda acc, p: acc + p["lon"])
         / F.size("ring"),
     )
+    a = a.localCheckpoint(eager=False)  # broadcast-built join side
     a = a.withColumn(
         "__cell",
         F.explode(neighbor_cells_expr(cell_id_expr("__clat", "__clon", cell_deg))),

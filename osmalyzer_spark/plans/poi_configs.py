@@ -270,6 +270,35 @@ def cc_looks_like(name: Column) -> Column:
     return out
 
 
+def _cc_name_cols(name: Column, prefix: str) -> list[Column]:
+    """Per-SIDE precomputed NamesMatch inputs: the regex normalization
+    cascade runs once per element/item row instead of once per candidate
+    PAIR (pairs >> rows; guide §2.3 'aggregate before you shuffle'
+    applied to expression work). cc_names_match over these columns is
+    term-for-term the pair expression it replaces."""
+    norm = _cc_normalize(name)
+    return [
+        F.lower(name).alias(f"{prefix}_low"),
+        F.lower(norm).alias(f"{prefix}_nlow"),
+        F.length(norm).alias(f"{prefix}_nlen"),
+    ]
+
+
+def _cc_match_pre(d: str, o: str) -> Column:
+    """cc_names_match over `_cc_name_cols` columns (d/o prefixes)."""
+    direct = F.col(f"{d}_low") == F.col(f"{o}_low")
+    norm_eq = F.col(f"{d}_nlow") == F.col(f"{o}_nlow")
+    contain = (
+        (F.col(f"{d}_nlen") > 5)
+        & (F.col(f"{o}_nlen") > 5)
+        & (
+            F.col(f"{o}_nlow").contains(F.col(f"{d}_nlow"))
+            | F.col(f"{d}_nlow").contains(F.col(f"{o}_nlow"))
+        )
+    )
+    return F.coalesce(direct | norm_eq | contain, F.lit(False))
+
+
 def cultural_centers(
     spark: SparkSession,
     osm: DataFrame,
@@ -289,20 +318,21 @@ def cultural_centers(
             "housenum_tag": "addr:housenumber",
         },
     )
+    elements = elements.select(
+        "*",
+        *_cc_name_cols(F.col("name_tag"), "on"),
+        *_cc_name_cols(F.col("official_name_tag"), "oo"),
+    )
+    centers = centers.select("*", *_cc_name_cols(F.col("item_name"), "dn"))
     params = CorrelatorParams(
         match_distance=150.0,
         unmatch_distance=500.0,
         strong_extra_distance=700.0,
         strength_expr=lambda df: F.when(
-            (
-                F.col("name_tag").isNotNull()
-                & cc_names_match(F.col("item_name"), F.col("name_tag"))
-            )
+            (F.col("name_tag").isNotNull() & _cc_match_pre("dn", "on"))
             | (
                 F.col("official_name_tag").isNotNull()
-                & cc_names_match(
-                    F.col("item_name"), F.col("official_name_tag")
-                )
+                & _cc_match_pre("dn", "oo")
             ),
             F.lit(STRONG),
         )

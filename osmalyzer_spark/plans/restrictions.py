@@ -187,11 +187,18 @@ def turn_restriction_check(relations: DataFrame, ways: DataFrame) -> DataFrame:
 
     Returns (relation_id, issue, detail).
     """
-    rels = relations.filter(get_value("tags", "type") == "restriction")
-    # localCheckpoint, not cache: 13 downstream issue branches re-analyze
+    # localCheckpoint, not cache: downstream issue branches re-analyze
     # and re-optimize the shared subplan on every reference — truncating
-    # the lineage here keeps every branch's plan a short LogicalRDD scan
-    # (guide §3.3 plan-size note; measured ~2x on q50 wall)
+    # the lineage keeps every branch's plan a short LogicalRDD scan
+    # (guide §3.3 plan-size note). rels/ways are truncated FIRST because
+    # even a lazy localCheckpoint plans its subplan (Dataset.checkpoint
+    # resolves queryExecution.toRdd), and planning the caller's
+    # expression-heavy way/relation constructions repeatedly was most of
+    # q50's wall (cProfile: 8.7 of 12.3 s in 6 checkpoint calls).
+    rels = relations.filter(
+        get_value("tags", "type") == "restriction"
+    ).localCheckpoint(eager=False)
+    ways = ways.localCheckpoint(eager=False)
     tags = _classify_tags(rels).localCheckpoint(eager=False)
     members = _classify_members(rels).localCheckpoint(eager=False)
 

@@ -170,7 +170,10 @@ def barrier_connections(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     # tag values ride the explode (no self-join to re-attach them) and
     # membership dedup is map-side array_distinct (way ids are unique,
     # so duplicates only arise within one way's array) — the only
-    # shuffles left are the node-id equi-join and the anti-join
+    # shuffles left are the node-id equi-join and the anti-join.
+    # localCheckpoint: the barrier and highway branches would otherwise
+    # each recompute the caller's way-construction subplan (guide §2.4)
+    ways = ways.localCheckpoint(eager=False)
     bn = ways.filter(
         has_key("tags", "barrier")
         & ~get_value("tags", "barrier").isin(PASSABLE_BARRIERS)
@@ -213,6 +216,7 @@ def bridge_water_connections(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     and the average coordinate of the connection points
     (OsmGeoTools.GetAverageCoord over the node list).
     """
+    ways = ways.localCheckpoint(eager=False)  # bridge + waterway branches
     bridges = ways.filter(has_key("tags", "bridge")).select(
         F.col("id").alias("bridge_id"),
         F.explode(F.array_distinct("node_ids")).alias("node_id"),
@@ -256,7 +260,9 @@ def crossing_consistency(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     cways = ways.filter(
         get_value("tags", "highway").isin("path", "footway")
         & (get_value("tags", "footway") == "crossing")
-    ).select(F.col("id").alias("way_id"), F.col("tags").alias("way_tags"), "node_ids")
+    ).select(
+        F.col("id").alias("way_id"), F.col("tags").alias("way_tags"), "node_ids"
+    ).localCheckpoint(eager=False)  # matched walk + pairs re-join
     cnodes = nodes.filter(get_value("tags", "highway") == "crossing").select(
         F.col("id").alias("node_id"), F.col("tags").alias("node_tags")
     )
@@ -340,6 +346,7 @@ def terminating_ways(ways: DataFrame) -> DataFrame:
 
     Output: one row per termination point — (area_id, node_id, way_id).
     """
+    ways = ways.localCheckpoint(eager=False)  # area + routable branches
     areas = ways.filter(
         _closed(ways)
         & (
