@@ -105,7 +105,12 @@ def street_name_check(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.coalesce(F.col("__lvm"), F.lit(0))).alias("n_lvm"),
     )
-    groups = groups.withColumn("__sfx", _suffix_idx(F.col("name"))).cache()
+    # localCheckpoint, not cache: 7 cascade branches re-plan the grouped
+    # name table (and the caller's way construction under it) on every
+    # reference; a truncated LogicalRDD keeps each branch's plan short
+    groups = groups.withColumn(
+        "__sfx", _suffix_idx(F.col("name"))
+    ).localCheckpoint(eager=False)
 
     null_s = F.lit(None).cast("string")
     null_l = F.lit(None).cast("long")
@@ -171,7 +176,7 @@ def street_name_check(
                 F.struct("route_id", "route_name", "route_ref"),
             )
         ).alias("__r")
-    )
+    ).localCheckpoint(eager=False)  # matched branch + rest of cascade
     osm_matched = best.filter(F.col("__r").isNotNull())
     osm_rows = osm_matched.select(
         F.when(F.col("__r.route_name") == F.col("name"), F.lit("route_full_osm"))
@@ -195,7 +200,7 @@ def street_name_check(
                 F.col("law_code").isNotNull(), F.struct("law_code", "law_name")
             )
         ).alias("__r")
-    )
+    ).localCheckpoint(eager=False)  # law branch + lvm/kuldiga/unknown tail
     law_matched = lbest.filter(F.col("__r").isNotNull())
     law_rows = law_matched.select(
         F.when(F.col("__r.law_name") == F.col("name"), F.lit("route_full_law"))

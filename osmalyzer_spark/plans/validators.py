@@ -930,6 +930,10 @@ def spelling_check(elements: DataFrame, dictionary: DataFrame) -> DataFrame:
         )
         .filter(~((F.col("n_parts") > 1) & F.array_contains("foreign", F.col("part"))))
         .select("elem_id", "value", "part")
+        # consumed twice (distinct-part spellcheck + occurrence join-back):
+        # truncate so the slash-protection regex chain and the name:xx
+        # map_filter tree are planned and evaluated once
+        .localCheckpoint(eager=False)
     )
     # spellcheck each DISTINCT part once (okValues discipline)
     words = F.filter(
