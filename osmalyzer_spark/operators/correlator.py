@@ -512,6 +512,11 @@ def _slim_inputs(
     """
     _no_binary(elements, "elements")
     _no_binary(items, "items")
+    # each side feeds BOTH the candidate join and its reverse-pass slim
+    # frame (and the anti-joins re-read the latter): truncate once so the
+    # caller's element/item construction is planned and evaluated once
+    elements = elements.localCheckpoint(eager=False)
+    items = items.localCheckpoint(eager=False)
 
     if p.polygon is not None:
         items = items.withColumn(

@@ -690,6 +690,9 @@ def q33_pt_pipeline(spark, sf_dir):
         )
         .withColumn("olat", F.col("glat") + F.lit(1.5e-4))
         .withColumn("olon", F.col("glon"))
+        # four consumers (variant/relation sides, gtfs/osm position
+        # tables): plan and evaluate the windowed base once
+        .localCheckpoint(eager=False)
     )
 
     def side(name_col, lat_col, lon_col, id_off, prefix):
@@ -725,7 +728,9 @@ def q33_pt_pipeline(spark, sf_dir):
         "r_id as route_rel_id", "r_clat as centroid_lat2",
         "r_clon as centroid_lon2", "r_stops as stops2",
     )
-    matched = score_route_matches(spark, variants, relations, accept_score=0.4)
+    matched = score_route_matches(
+        spark, variants, relations, accept_score=0.4
+    ).localCheckpoint(eager=False)  # route_stops join + final output join
 
     gtfs_pos = base.select(
         F.col("grp").alias("variant_id"), "i",
