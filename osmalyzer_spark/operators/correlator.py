@@ -964,6 +964,9 @@ def checkpointed_correlate(
     t0 = time.time()
     elems_slim, items_slim, pairs_all = _slim_inputs(spark, elements, items, p)
     pairs_all = pairs_all.localCheckpoint(eager=True)  # reused 3x below
+    # block-count of the materialized checkpoint (cheap); doubles as the
+    # CC edge-count bound so the small-graph path skips its own sizing
+    n_pairs_all = pairs_all.count()
     pt["slim_pairs_s"] = round(time.time() - t0, 2)
     t0 = time.time()
 
@@ -991,9 +994,9 @@ def checkpointed_correlate(
     # (min-label propagation is O(diameter) — a dense hotspot component's
     # diameter ~ extent/seek, measured in BENCH.md; the star algorithm's
     # round count is 8 on the 1M/775 m giant component, measured)
-    comps = connected_components_star(edges, max_iter=cc_max_iter).localCheckpoint(
-        eager=True
-    )
+    comps = connected_components_star(
+        edges, max_iter=cc_max_iter, edge_count_bound=n_pairs_all
+    ).localCheckpoint(eager=True)
     pt["cc_star_s"] = round(time.time() - t0, 2)
     t_sizes = time.time()
 
@@ -1003,7 +1006,6 @@ def checkpointed_correlate(
     # join + aggregate are node/pair-sized — pin them to the same
     # data-proportional partitioning the star rounds used, not the
     # cluster-sized session default.
-    n_pairs_all = pairs_all.count()
     sizes_parts = max(4, min(4096, -(-n_pairs_all // 250_000)))
     orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(sizes_parts))

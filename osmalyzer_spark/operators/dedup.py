@@ -395,6 +395,7 @@ def connected_components_star(
     max_iter: int = 50,
     with_rounds: bool = False,
     local_edge_threshold: int = 2_000_000,
+    edge_count_bound: int | None = None,
 ):
     """Connected components via alternating large-star / small-star
     (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
@@ -432,12 +433,31 @@ def connected_components_star(
     distributed star rounds (tests of the scale path do).
     """
     spark = pairs.sparkSession
-    e = (
-        pairs.select(
-            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    raw = pairs.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).filter(F.col("a") != F.col("b"))
+    if edge_count_bound is not None and edge_count_bound <= local_edge_threshold:
+        # the caller already knows an upper bound on the edge count (e.g.
+        # the candidate-pair count it just materialized): take the local
+        # path directly, skipping the distinct shuffle and the sizing
+        # count — _local_components' scatter-min is idempotent under
+        # duplicate edges, so labels are identical
+        pdf = raw.toPandas()
+        nodes, label = _local_components(pdf)
+        out_pdf = pd.DataFrame({"id": nodes, "component": nodes[label]})
+        id_type = raw.schema["a"].dataType
+        out = spark.createDataFrame(
+            out_pdf,
+            schema=T.StructType(
+                [
+                    T.StructField("id", id_type),
+                    T.StructField("component", id_type),
+                ]
+            ),
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
+        return (out, 0) if with_rounds else out
+    e = (
+        raw.distinct()
         # lazy: the sizing count below materializes the checkpoint
         .localCheckpoint(eager=False)
     )
