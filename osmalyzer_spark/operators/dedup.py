@@ -192,6 +192,9 @@ def minhash_lsh_pairs(
         num_hashes = len(row["sig"])
     if num_hashes % bands:
         raise ValueError(f"num_hashes {num_hashes} not divisible by bands {bands}")
+    # four consumers (both sides of the band self-join + both signature
+    # re-joins): truncate so the signature UDF runs once, not per branch
+    sigs = sigs.localCheckpoint(eager=False)
     r = num_hashes // bands
     band_keys = F.array(
         *[

@@ -5381,8 +5381,8 @@ def q63_admin_boundaries(spark, sf_dir):
     from osmalyzer_spark.plans.admin import assign_admin_centers, external_assign
 
     rel = _q63_relations(spark, sf_dir)
-    members = _q63_members(spark, sf_dir)
-    nodes = _q63_nodes(spark, sf_dir)
+    members = _q63_members(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = _q63_nodes(spark, sf_dir).localCheckpoint(eager=False)
 
     node_pos = members.filter(F.col("mtype") == "node").join(
         nodes.select(F.col("id").alias("ref"), "lat", "lon"), "ref"
@@ -5395,6 +5395,9 @@ def q63_admin_boundaries(spark, sf_dir):
         rel.join(cent, "relation_id")
         .filter(contains_expr(poly, "lat", "lon"))
         .select(F.col("relation_id").alias("item_id"), "name", "lat", "lon")
+        # consumed by external_assign AND the center pass: truncate so the
+        # centroid aggregation + polygon UDF evaluate once
+        .localCheckpoint(eager=False)
     )
 
     matches = external_assign(items, _q63_entries(spark, sf_dir), _Q63_CAP_M)
