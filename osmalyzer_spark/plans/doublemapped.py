@@ -175,13 +175,15 @@ def double_mapped_check(
         .withColumn("inside", inside_ring_expr("lat", "lon", "ring"))
         .filter(F.col("inside"))
         .select("area_id", "feature_key", "feature_value", "area_km2", "node_id")
-        .dropDuplicates(["area_id", "node_id"])
     )
+    # collect_set == dropDuplicates(area, node) + collect_list here (the
+    # other grouping columns are constant per area), folding the dedup
+    # shuffle into the one aggregation (guide §2.4)
     return pairs.groupBy("area_id", "feature_key", "feature_value", "area_km2").agg(
-        F.count(F.lit(1)).alias("n_nodes"),
+        F.size(F.collect_set("node_id")).alias("n_nodes"),
         F.array_join(
             F.transform(
-                F.sort_array(F.collect_list("node_id")), lambda x: x.cast("string")
+                F.sort_array(F.collect_set("node_id")), lambda x: x.cast("string")
             ),
             ",",
         ).alias("node_ids"),
