@@ -556,6 +556,39 @@ def test_da_local_gate_matches_distributed(spark):
         ), attr
 
 
+def test_da_gate_probe_overflow_runs_distributed(spark):
+    """A small-but-nonzero da_local_pair_threshold makes the one-action
+    gate probe overflow (len == threshold + 1): the distributed round
+    loop must engage and agree with the driver-local default."""
+    rng = np.random.default_rng(616)
+    elements = [
+        dict(elem_id=e, tag=str(e % 3),
+             **dict(zip(("lat", "lon"),
+                        at(float(rng.uniform(-30, 30)), float(rng.uniform(-200, 200))))))
+        for e in range(25)
+    ]
+    items = [
+        dict(item_id=f"i{k:03d}", tag=str(k % 3),
+             **dict(zip(("lat", "lon"),
+                        at(float(rng.uniform(-40, 40)), float(rng.uniform(-220, 220))))))
+        for k in range(70)
+    ]
+    edf, idf = make_dfs(spark, elements, items)
+    kw = dict(unmatch_distance=75.0, strength_expr=tag_strength_expr)
+    local = correlate(spark, edf, idf, CorrelatorParams(**kw))
+    overflow = correlate(
+        spark, edf, idf, CorrelatorParams(**kw, da_local_pair_threshold=3)
+    )
+    key = lambda r: (r["elem_id"], r["item_id"], r["strength"],
+                     round(r["dist_m"], 9), r["far"])
+    assert sorted(map(key, local.matched.collect())) == sorted(
+        map(key, overflow.matched.collect())
+    )
+    assert sorted(r["item_id"] for r in local.unmatched_items.collect()) == sorted(
+        r["item_id"] for r in overflow.unmatched_items.collect()
+    )
+
+
 def test_checkpointed_grouped_map_solver_full_semantics(spark, tmp_path):
     """The sequential per-component solver (small phase) must reproduce
     the distributed answer under the FULL parameter surface: strengths,
