@@ -264,6 +264,28 @@ class CheckpointedRun:
                     "single-pass process() must preserve the __bucket column"
                 )
             self._write_schema_once(spark, produced)
+            # rows_out rides the write job as observed metrics instead of
+            # re-reading everything just written (an O(output) extra scan
+            # at scale; 3 extra driver jobs here). `produced` has exactly
+            # one consumer (the write), so CollectMetrics counts each row
+            # once; per-bucket conditional sums are cheap next to the
+            # parquet encode they replace a decode of. Guarded to a sane
+            # expression width — a wider pending set falls back to the
+            # post-write aggregation.
+            obs_out = None
+            if len(pending) <= 512:
+                from pyspark.sql import Observation
+
+                obs_out = Observation()
+                produced = produced.observe(
+                    obs_out,
+                    *[
+                        F.sum(
+                            F.when(F.col("__bucket") == int(b), 1).otherwise(0)
+                        ).alias(f"b{int(b)}")
+                        for b in pending
+                    ],
+                )
             (
                 produced.repartition("__bucket")
                 .write.mode("overwrite")
@@ -272,19 +294,35 @@ class CheckpointedRun:
             )
             if fail_before_progress:
                 raise RuntimeError("simulated crash after data, before progress")
-            # lineage counts: column-pruned aggregations, not full rescans
+            # rows_in lineage: column-pruned aggregation, not a full rescan
+            # (cannot be observed: process() may consume the slice through
+            # several union branches, which would multi-count the metric)
             rows_in = {
                 r["__bucket"]: r["n"]
                 for r in slice_df.groupBy("__bucket").agg(F.count(F.lit(1)).alias("n")).collect()
             }
-            rows_out = {
-                r["__bucket"]: r["n"]
-                for r in self._read_data(spark)
-                .filter(F.col("__bucket").isin(pending))
-                .groupBy("__bucket")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
+            vals = None
+            if obs_out is not None:
+                try:
+                    vals = obs_out.get
+                except Exception:  # noqa: BLE001 — an all-empty write
+                    # produces no metrics row (observed empirically):
+                    # fall back to the read-back count, which is then a
+                    # scan of nothing
+                    vals = None
+            if vals is not None:
+                rows_out = {
+                    b: int(vals[f"b{int(b)}"] or 0) for b in pending
+                }
+            else:
+                rows_out = {
+                    r["__bucket"]: r["n"]
+                    for r in self._read_data(spark)
+                    .filter(F.col("__bucket").isin(pending))
+                    .groupBy("__bucket")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
             wall = int((time.time() - t0) * 1000)
             now = time.time()
             self._write_progress(
@@ -359,16 +397,27 @@ class CheckpointedRun:
                 )
                 out = produced.withColumn("__bucket", F.lit(int(b)))
                 self._write_schema_once(spark, out)
+                # rows_out rides the write job as an observed count (one
+                # consumer, so the metric is exact) instead of re-reading
+                # the partition just written
+                from pyspark.sql import Observation
+
+                obs_out = Observation()
+                out = out.observe(obs_out, F.count(F.lit(1)).alias("n"))
                 # dynamic overwrite: replaces ONLY partition __bucket=b,
                 # so redoing a bucket after a crash is idempotent
                 out.write.mode("overwrite").partitionBy("__bucket").parquet(
                     self._data_path
                 )
-                rows_out = (
-                    self._read_data(spark)
-                    .filter(F.col("__bucket") == b)
-                    .count()
-                )
+                try:
+                    rows_out = int(obs_out.get["n"] or 0)
+                except Exception:  # noqa: BLE001 — empty write, no
+                    # metrics row; the read-back scans nothing
+                    rows_out = (
+                        self._read_data(spark)
+                        .filter(F.col("__bucket") == b)
+                        .count()
+                    )
                 slice_df.unpersist()
                 progress_rows.append(
                     (
