@@ -112,6 +112,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread an under-partitioned scan across the cluster BEFORE an
+    expensive projection (per-ring geometry math runs serially when the
+    source parquet is one small file — a single-task stage, the guide §2
+    straggler shape). Only acts when the scan has fewer partitions than
+    the cluster's cores: at scale the scan is already parallel and this
+    is a no-op, so no extra shuffle is ever added there. The explicit
+    partition count keeps AQE from coalescing the tiny exchange back to
+    one task (results are row-local — partitioning cannot change them).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # queries — Spark implementations
 # --------------------------------------------------------------------------
@@ -4883,7 +4899,7 @@ def _q61_ways(spark, sf_dir) -> DataFrame:
             )
         )
     )
-    base = p.select(
+    base = _spread(p).select(
         i.cast("long").alias("id"),
         tags.alias("tags"),
         F.expr(synth_lat_sql("p_partkey")).alias("__wlat"),
@@ -4925,7 +4941,7 @@ def _q61_nodes(spark, sf_dir) -> DataFrame:
         F.expr(synth_lon_sql(f"((c_custkey * 7) % {n_parts} + 1)"))
         + F.lit(_Q61_IN_DLON),
     ).otherwise(F.expr(synth_lon_sql("c_custkey")))
-    return c.select(
+    return _spread(c).select(
         i.cast("long").alias("id"), tags.alias("tags"), lat.alias("lat"), lon.alias("lon")
     )
 
