@@ -171,62 +171,15 @@ def _no_binary(df: DataFrame, side: str) -> None:
             )
 
 
-def _local_da_probe(
-    cand: DataFrame,
-    proposer_order: list[Column],
-    acceptor_order: list[Column],
-    limit_rows: int,
-):
-    """One-action gate probe: collect up to ``limit_rows + 1`` candidate
-    rows with the flat key components attached. A result of
-    ``len(pdf) <= limit_rows`` means the frame holds the COMPLETE table
-    (the limit was never reached), so the same action that sized the
-    table also delivered the rows the driver-local solve needs — the
-    count + full rescan it replaces ran two sequential jobs.
-    Overflow (``len == limit_rows + 1``) sends the caller down the
-    distributed loop; the partial rows are discarded.
-    """
-    n_p = len(proposer_order)
-    n_a = len(acceptor_order)
-    pcols = [f"__p{i}" for i in range(n_p)]
-    acols = [f"__a{i}" for i in range(n_a)]
-    # key COMPONENTS as flat scalar columns — struct columns would arrive
-    # in pandas as per-row dicts, an order-of-magnitude slower conversion
-    sel = cand.select(
-        "*",
-        *[c.alias(pcols[i]) for i, c in enumerate(proposer_order)],
-        *[c.alias(acols[i]) for i, c in enumerate(acceptor_order)],
-    )
-    # widen the incremental take's first wave: the default (1 partition,
-    # 4x scale-up) serializes the final stage into up to 4 sequential
-    # jobs and erases the merge's saving (measured: q74 3.2 -> 2.85 s at
-    # 8, no further gain at 32). Worst-case extra driver transfer on the
-    # overflow path is 8 x (limit_rows + 1) slim rows (~150 MB transient
-    # at the default threshold), independent of table size.
-    spark = cand.sparkSession
-    orig = spark.conf.get("spark.sql.limit.initialNumPartitions", None)
-    spark.conf.set("spark.sql.limit.initialNumPartitions", "8")
-    try:
-        pdf = sel.limit(limit_rows + 1).toPandas()
-    finally:
-        if orig is None:
-            spark.conf.unset("spark.sql.limit.initialNumPartitions")
-        else:
-            spark.conf.set("spark.sql.limit.initialNumPartitions", orig)
-    return pdf, pcols, acols
-
-
 def _local_da(
     spark: SparkSession,
     cand: DataFrame,
-    pdf,
-    pcols: list[str],
-    acols: list[str],
     proposer: str,
     acceptor: str,
+    proposer_order: list[Column],
+    acceptor_order: list[Column],
 ) -> DataFrame:
-    """Driver-local Gale-Shapley over a collected candidate table
-    (``pdf``/``pcols``/``acols`` come from ``_local_da_probe``).
+    """Driver-local Gale-Shapley over a collected candidate table.
 
     Produces EXACTLY the distributed round loop's holds (same rows, same
     schema): with strict preferences the proposer-optimal stable matching
@@ -244,6 +197,18 @@ def _local_da(
     latency. Beyond the gate the distributed loop runs unchanged.
     """
     data_cols = list(cand.columns)
+    n_p = len(proposer_order)
+    n_a = len(acceptor_order)
+    pcols = [f"__p{i}" for i in range(n_p)]
+    acols = [f"__a{i}" for i in range(n_a)]
+    # key COMPONENTS as flat scalar columns — struct columns would arrive
+    # in pandas as per-row dicts, an order-of-magnitude slower conversion
+    sel = cand.select(
+        "*",
+        *[c.alias(pcols[i]) for i, c in enumerate(proposer_order)],
+        *[c.alias(acols[i]) for i, c in enumerate(acceptor_order)],
+    )
+    pdf = sel.toPandas()
     if len(pdf) == 0:
         return spark.createDataFrame([], cand.schema)
 
@@ -352,22 +317,9 @@ def deferred_acceptance(
     # well-typed across rounds
     pkey = F.struct(*[c.alias(f"__k{i}") for i, c in enumerate(proposer_order)])
     akey = F.struct(*[c.alias(f"__k{i}") for i, c in enumerate(acceptor_order)])
-    # lazy local checkpoint: the first action below (gate probe or count)
-    # materializes the checkpoint blocks as it sizes the table
+    # lazy local checkpoint: the count below is the first action, so one
+    # job both sizes the table and materializes the checkpoint blocks
     cand = cand.localCheckpoint(eager=False)
-    if local_pair_threshold > 0:
-        # single Arrow action replaces the count + full-rescan pair: it
-        # sizes the table (overflow => distributed), materializes the
-        # checkpoint blocks it computes, and, when the table fits the
-        # gate, already holds every row the driver-local solve needs
-        pdf, pcols, acols = _local_da_probe(
-            cand, proposer_order, acceptor_order, local_pair_threshold
-        )
-        if len(pdf) <= local_pair_threshold:
-            return (
-                _local_da(spark, cand, pdf, pcols, acols, proposer, acceptor),
-                0,
-            )
     # Round-job sizing must follow the DATA, not the cluster (VERDICT r4
     # item 4: per-round wall grew 28% from 2 to 8 cores because every
     # round's jobs inherited cluster-sized partitioning). The candidate
@@ -377,6 +329,16 @@ def deferred_acceptance(
     # by the watermark design) is pinned to a matching small constant
     # instead of the session's cluster-sized shuffle partitioning.
     n_cand = cand.count()
+    if n_cand <= local_pair_threshold:
+        # small candidate sets: the matching is latency-bound (each round
+        # is several sequential jobs), not volume-bound — solve at the
+        # driver (same gate discipline as connected_components_star's
+        # local_edge_threshold; ~30 MB of slim rows at the default).
+        # Identical holds by GS uniqueness; tests force both paths.
+        return (
+            _local_da(spark, cand, proposer, acceptor, proposer_order, acceptor_order),
+            0,
+        )
     cand_parts = max(4, min(4096, -(-n_cand // 250_000)))
     cand = cand.coalesce(cand_parts)
     state_parts = min(32, cand_parts)
