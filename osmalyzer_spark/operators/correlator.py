@@ -994,8 +994,12 @@ def checkpointed_correlate(
     # (min-label propagation is O(diameter) — a dense hotspot component's
     # diameter ~ extent/seek, measured in BENCH.md; the star algorithm's
     # round count is 8 on the 1M/775 m giant component, measured)
+    cc_pair_counts: dict = {}
     comps = connected_components_star(
-        edges, max_iter=cc_max_iter, edge_count_bound=n_pairs_all
+        edges,
+        max_iter=cc_max_iter,
+        edge_count_bound=n_pairs_all,
+        edge_counts_out=cc_pair_counts,
     ).localCheckpoint(eager=True)
     pt["cc_star_s"] = round(time.time() - t0, 2)
     t_sizes = time.time()
@@ -1006,26 +1010,34 @@ def checkpointed_correlate(
     # join + aggregate are node/pair-sized — pin them to the same
     # data-proportional partitioning the star rounds used, not the
     # cluster-sized session default.
-    sizes_parts = max(4, min(4096, -(-n_pairs_all // 250_000)))
-    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(sizes_parts))
-    try:
-        sizes = (
-            pairs_all.join(
-                comps.select(F.col("id").alias("__k"), "component"),
-                elem_code("elem_id") == F.col("__k"),
-            )
-            .groupBy("component")
-            .agg(F.count(F.lit(1)).alias("n_pairs"))
-        )
+    if cc_pair_counts or n_pairs_all == 0:
+        # the driver-local CC solve already counted edge rows (== pair
+        # rows, one edge per candidate pair) per component: the sizing
+        # join + aggregate + collect (3 jobs and a shuffle) is free here
         big = sorted(
-            r["component"]
-            for r in sizes.filter(
-                F.col("n_pairs") > small_component_max_pairs
-            ).collect()
+            c for c, n in cc_pair_counts.items() if n > small_component_max_pairs
         )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
+    else:
+        sizes_parts = max(4, min(4096, -(-n_pairs_all // 250_000)))
+        orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(sizes_parts))
+        try:
+            sizes = (
+                pairs_all.join(
+                    comps.select(F.col("id").alias("__k"), "component"),
+                    elem_code("elem_id") == F.col("__k"),
+                )
+                .groupBy("component")
+                .agg(F.count(F.lit(1)).alias("n_pairs"))
+            )
+            big = sorted(
+                r["component"]
+                for r in sizes.filter(
+                    F.col("n_pairs") > small_component_max_pairs
+                ).collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
     big_bucket = {c: ck.n_buckets + rank for rank, c in enumerate(big)}
     pt["cc_sizes_s"] = round(time.time() - t_sizes, 2)
     pt["connected_components_s"] = round(time.time() - t0, 2)

@@ -390,7 +390,7 @@ def _local_components(pdf: "pd.DataFrame"):
             label = nl
         if np.array_equal(label, prev):
             break
-    return np.asarray(uniques), label
+    return np.asarray(uniques), label, ia
 
 
 def connected_components_star(
@@ -399,6 +399,7 @@ def connected_components_star(
     with_rounds: bool = False,
     local_edge_threshold: int = 2_000_000,
     edge_count_bound: int | None = None,
+    edge_counts_out: dict | None = None,
 ):
     """Connected components via alternating large-star / small-star
     (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
@@ -434,6 +435,12 @@ def connected_components_star(
     few million edges the cluster path wins even at low parallelism. Labels are identical to the distributed
     path's; rounds reports 0. Pass local_edge_threshold=0 to force the
     distributed star rounds (tests of the scale path do).
+
+    `edge_counts_out`: optional dict the DRIVER-LOCAL path fills with
+    {component id: number of input edge rows (duplicates included)} —
+    a free byproduct of the numpy solve that lets a caller who fed one
+    edge row per candidate pair skip its own per-component sizing join.
+    The distributed path leaves it untouched (caller falls back).
     """
     spark = pairs.sparkSession
     raw = pairs.select(
@@ -446,7 +453,13 @@ def connected_components_star(
         # count — _local_components' scatter-min is idempotent under
         # duplicate edges, so labels are identical
         pdf = raw.toPandas()
-        nodes, label = _local_components(pdf)
+        nodes, label, ia = _local_components(pdf)
+        if edge_counts_out is not None and len(pdf):
+            comps_u, counts = np.unique(nodes[label[ia]], return_counts=True)
+            edge_counts_out.update(
+                (c.item() if hasattr(c, "item") else c, int(n))
+                for c, n in zip(comps_u, counts)
+            )
         out_pdf = pd.DataFrame({"id": nodes, "component": nodes[label]})
         id_type = raw.schema["a"].dataType
         out = spark.createDataFrame(
@@ -471,8 +484,11 @@ def connected_components_star(
     # keeps every round's plan identical at N and 4N executors.
     n_edges = e.count()
     if n_edges <= local_edge_threshold:
+        # NOT filling edge_counts_out here: this branch solves the
+        # DEDUPLICATED edge set, so its per-component edge counts are
+        # not the caller's per-pair counts
         pdf = e.toPandas()
-        nodes, label = _local_components(pdf)
+        nodes, label, _ = _local_components(pdf)
         out_pdf = pd.DataFrame({"id": nodes, "component": nodes[label]})
         id_type = e.schema["a"].dataType
         out = spark.createDataFrame(
