@@ -174,6 +174,23 @@ def pip_tag_udf(polygons: list[Polygon]):
     return _tag
 
 
+def pip_tag_expr(polygons: list[Polygon], lat, lon) -> Column:
+    """Native region tag: polygon_id of the first containing polygon
+    (list order, same semantics as pip_tag_udf), else null. Falls back
+    to the vectorized UDF when the combined vertex count would blow up
+    the literal plan size."""
+    if sum(len(r) for p in polygons for r in p.outers + p.inners) > _NATIVE_VERTEX_LIMIT:
+        lat_c = lat if isinstance(lat, Column) else F.col(lat)
+        lon_c = lon if isinstance(lon, Column) else F.col(lon)
+        return pip_tag_udf(polygons)(lat_c, lon_c)
+    expr = F.lit(None).cast(T.StringType())
+    for poly in reversed(list(polygons)):
+        expr = F.when(contains_expr(poly, lat, lon), F.lit(poly.polygon_id)).otherwise(
+            expr
+        )
+    return expr
+
+
 def inside_ring_expr(lat, lon, ring) -> Column:
     """Native-expression ray cast of a point against a per-row ring column
     (array<struct<lat,lon>>, closing vertex stored) — the same boundary
@@ -211,9 +228,30 @@ def inside_ring_expr(lat, lon, ring) -> Column:
     return crossings % 2 == 1
 
 
+def _ring_literal(ring: np.ndarray) -> Column:
+    """A constant ring as an array<struct<lat,lon>> literal column. The
+    ray cast over it is a runtime fold (`aggregate`), so codegen size
+    does not grow with the vertex count — only the literal array does."""
+    return F.array(
+        *[
+            F.struct(F.lit(float(la)).alias("lat"), F.lit(float(lo)).alias("lon"))
+            for la, lo in ring
+        ]
+    )
+
+
+# constant polygons up to this many total vertices evaluate natively (no
+# Python boundary); larger ones keep the vectorized-UDF path so literal
+# plan size stays bounded
+_NATIVE_VERTEX_LIMIT = 512
+
+
 def contains_expr(polygon: Polygon, lat, lon) -> Column:
-    """Boolean column: point inside polygon (bbox prefilter natively, exact
-    ray cast via the vectorized UDF)."""
+    """Boolean column: point inside polygon. The bbox prefilter is always
+    native; the exact ray cast is native too (inside_ring_expr over the
+    rings as literals — bit-identical to ring_contains, guide §4.1: no
+    Arrow round-trip per row) for constant polygons up to
+    _NATIVE_VERTEX_LIMIT total vertices, else the vectorized UDF."""
     lat = lat if isinstance(lat, Column) else F.col(lat)
     lon = lon if isinstance(lon, Column) else F.col(lon)
     all_rings = polygon.outers + polygon.inners
@@ -227,6 +265,22 @@ def contains_expr(polygon: Polygon, lat, lon) -> Column:
         & (lon >= F.lit(lon_min))
         & (lon <= F.lit(lon_max))
     )
+    if sum(len(r) for r in all_rings) <= _NATIVE_VERTEX_LIMIT:
+        # mirrors Polygon.contains: per-outer bbox gate (pure perf — a
+        # point outside a ring's bbox is outside the ring), OR over
+        # outers, minus holes
+        inside = F.lit(False)
+        for outer in polygon.outers:
+            ob = (
+                (lat >= F.lit(float(outer[:, 0].min())))
+                & (lat <= F.lit(float(outer[:, 0].max())))
+                & (lon >= F.lit(float(outer[:, 1].min())))
+                & (lon <= F.lit(float(outer[:, 1].max())))
+            )
+            inside = inside | (ob & inside_ring_expr(lat, lon, _ring_literal(outer)))
+        for inner in polygon.inners:
+            inside = inside & ~inside_ring_expr(lat, lon, _ring_literal(inner))
+        return F.when(bbox, inside).otherwise(F.lit(False))
     return F.when(bbox, pip_bool_udf(polygon)(lat, lon)).otherwise(F.lit(False))
 
 

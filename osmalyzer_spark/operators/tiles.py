@@ -15,7 +15,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from osmalyzer_spark.geo.polygon import Polygon, pip_tag_udf
+from osmalyzer_spark.geo.polygon import Polygon, pip_tag_expr
 
 
 def tile_xy_exprs(lat, lon, zoom: int) -> tuple[Column, Column]:
@@ -56,7 +56,9 @@ def assign_tiles(
         .withColumn("tile_id", tile_id_expr(lat, lon, zoom))
     )
     if polygons:
-        out = out.withColumn("region", pip_tag_udf(polygons)(F.col(lat), F.col(lon)))
+        # native for small constant polygons (no Python boundary), UDF
+        # beyond the literal-size bound — see geo/polygon.pip_tag_expr
+        out = out.withColumn("region", pip_tag_expr(polygons, F.col(lat), F.col(lon)))
     return out
 
 
